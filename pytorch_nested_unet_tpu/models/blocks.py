@@ -1,0 +1,66 @@
+"""Shared conv blocks of the model zoo (NHWC, bf16-friendly)."""
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.layers import BatchNorm, TorchConv
+
+
+class VGGBlock(nn.Module):
+    """(conv3x3 -> BN -> ReLU) x2 — the universal encoder/decoder block.
+
+    Reference: archs_backup.py:24-42 (identical finished/archs1.py:14-33).
+    """
+
+    middle_channels: int
+    out_channels: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = TorchConv(self.middle_channels, 3, padding=1, dtype=self.dtype, name="conv1")(x)
+        x = BatchNorm(dtype=self.dtype, name="bn1")(x, use_running_average=not train)
+        x = nn.relu(x)
+        x = TorchConv(self.out_channels, 3, padding=1, dtype=self.dtype, name="conv2")(x)
+        x = BatchNorm(dtype=self.dtype, name="bn2")(x, use_running_average=not train)
+        x = nn.relu(x)
+        return x
+
+
+class UnetConv2(nn.Module):
+    """(conv3x3 [-> BN] -> ReLU) x2 with optional BN.
+
+    Reference: archs_backup.py:365-383, CRDN.py:201-221.
+    """
+
+    out_channels: int
+    is_batchnorm: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i in (1, 2):
+            x = TorchConv(self.out_channels, 3, padding=1, dtype=self.dtype, name=f"conv{i}")(x)
+            if self.is_batchnorm:
+                x = BatchNorm(dtype=self.dtype, name=f"bn{i}")(x, use_running_average=not train)
+            x = nn.relu(x)
+        return x
+
+
+class ConvBNReLU(nn.Module):
+    """Single conv -> BN -> ReLU unit (score blocks etc.)."""
+
+    out_channels: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = TorchConv(self.out_channels, self.kernel_size, stride=self.stride,
+                      padding=self.padding, dtype=self.dtype, name="conv")(x)
+        x = BatchNorm(dtype=self.dtype, name="bn")(x, use_running_average=not train)
+        return nn.relu(x)

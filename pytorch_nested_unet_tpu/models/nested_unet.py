@@ -1,0 +1,65 @@
+"""NestedUNet (UNet++) — the flagship model. Reference: archs_backup.py:84-152.
+
+Dense nested skip paths: node x_{i,j} = VGGBlock(concat(x_{i,0..j-1}, up(x_{i+1,j-1}))).
+Deep supervision: four 1x1 heads on x0_1..x0_4 returning a list; else one head on x0_4.
+NHWC; upsampling is bilinear x2 align_corners=True (archs_backup.py:93).
+"""
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.layers import TorchConv
+from ..ops.pool import max_pool2x2
+from ..ops.resize import upsample2x
+from .blocks import VGGBlock
+
+
+class NestedUNet(nn.Module):
+    num_classes: int = 1
+    input_channels: int = 3
+    deep_supervision: bool = False
+    nb_filter: Sequence[int] = (32, 64, 128, 256, 512)
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        nb = self.nb_filter
+        dt = self.dtype
+        if dt is not None:
+            x = x.astype(dt)
+        cat = lambda *ts: jnp.concatenate(ts, axis=-1)
+
+        def block(i, j, inputs):
+            return VGGBlock(nb[i], nb[i], dtype=dt, name=f"conv{i}_{j}")(inputs, train)
+
+        # Encoder column j=0 and nested grid (reference forward wiring :123-141).
+        x0_0 = block(0, 0, x)
+        x1_0 = block(1, 0, max_pool2x2(x0_0))
+        x0_1 = block(0, 1, cat(x0_0, upsample2x(x1_0)))
+
+        x2_0 = block(2, 0, max_pool2x2(x1_0))
+        x1_1 = block(1, 1, cat(x1_0, upsample2x(x2_0)))
+        x0_2 = block(0, 2, cat(x0_0, x0_1, upsample2x(x1_1)))
+
+        x3_0 = block(3, 0, max_pool2x2(x2_0))
+        x2_1 = block(2, 1, cat(x2_0, upsample2x(x3_0)))
+        x1_2 = block(1, 2, cat(x1_0, x1_1, upsample2x(x2_1)))
+        x0_3 = block(0, 3, cat(x0_0, x0_1, x0_2, upsample2x(x1_2)))
+
+        x4_0 = block(4, 0, max_pool2x2(x3_0))
+        x3_1 = block(3, 1, cat(x3_0, upsample2x(x4_0)))
+        x2_2 = block(2, 2, cat(x2_0, x2_1, upsample2x(x3_1)))
+        x1_3 = block(1, 3, cat(x1_0, x1_1, x1_2, upsample2x(x2_2)))
+        x0_4 = block(0, 4, cat(x0_0, x0_1, x0_2, x0_3, upsample2x(x1_3)))
+
+        if self.deep_supervision:
+            # Four separate heads (reference :115-119, :143-148).
+            outs = [
+                TorchConv(self.num_classes, 1, dtype=dt, name=f"final{k}")(feat).astype(jnp.float32)
+                for k, feat in zip((1, 2, 3, 4), (x0_1, x0_2, x0_3, x0_4))
+            ]
+            return outs
+        out = TorchConv(self.num_classes, 1, dtype=dt, name="final")(x0_4)
+        return out.astype(jnp.float32)

@@ -1,0 +1,158 @@
+"""Flax layers with PyTorch-default semantics (init, padding, BN behavior).
+
+These are the building blocks the entire model zoo is written in. NHWC layout
+(TPU-native). `dtype` controls the compute dtype (bf16 mixed precision on TPU);
+parameters are always stored float32. BatchNorm always computes statistics in
+float32 regardless of compute dtype.
+"""
+
+from typing import Any, Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .init import (
+    torch_bias_init,
+    torch_conv_kernel_init,
+    torch_dense_kernel_init,
+    torch_transpose_kernel_init,
+)
+
+IntPair = Union[int, Tuple[int, int]]
+
+
+def _pair(v: IntPair) -> Tuple[int, int]:
+    return (v, v) if isinstance(v, int) else (int(v[0]), int(v[1]))
+
+
+class TorchConv(nn.Module):
+    """`nn.Conv2d` equivalent: explicit symmetric padding, kaiming-uniform init.
+
+    Matches the reference's conv calls, e.g. conv3x3 padding=1 in VGGBlock
+    (reference archs_backup.py:24-42) and 5x5 score blocks (archs_backup.py:313-321).
+    """
+
+    features: int
+    kernel_size: IntPair = 3
+    stride: IntPair = 1
+    padding: IntPair = 0
+    dilation: IntPair = 1
+    groups: int = 1
+    use_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = _pair(self.kernel_size)
+        ph, pw = _pair(self.padding)
+        fan_in = kh * kw * x.shape[-1] // self.groups
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(kh, kw),
+            strides=_pair(self.stride),
+            padding=((ph, ph), (pw, pw)),
+            kernel_dilation=_pair(self.dilation),
+            feature_group_count=self.groups,
+            use_bias=self.use_bias,
+            kernel_init=torch_conv_kernel_init,
+            bias_init=torch_bias_init(fan_in),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+
+
+class TorchConvTranspose(nn.Module):
+    """`nn.ConvTranspose2d` equivalent (used by up_conv variants and PSP heads).
+
+    PyTorch output size = (in-1)*stride - 2*pad + kernel; we reproduce that via
+    flax ConvTranspose with explicit padding trim.
+    """
+
+    features: int
+    kernel_size: IntPair = 2
+    stride: IntPair = 2
+    padding: IntPair = 0
+    use_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = _pair(self.kernel_size)
+        ph, pw = _pair(self.padding)
+        fan_in = kh * kw * self.features
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        y = nn.ConvTranspose(
+            features=self.features,
+            kernel_size=(kh, kw),
+            strides=_pair(self.stride),
+            padding=((kh - 1 - ph, kh - 1 - ph), (kw - 1 - pw, kw - 1 - pw)),
+            use_bias=self.use_bias,
+            kernel_init=torch_transpose_kernel_init,
+            bias_init=torch_bias_init(fan_in),
+            transpose_kernel=True,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+        return y
+
+
+class TorchDense(nn.Module):
+    """`nn.Linear` equivalent."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        return nn.Dense(
+            features=self.features,
+            use_bias=self.use_bias,
+            kernel_init=torch_dense_kernel_init,
+            bias_init=torch_bias_init(fan_in),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="dense",
+        )(x)
+
+
+class BatchNorm(nn.Module):
+    """`nn.BatchNorm2d` equivalent: momentum 0.1 (flax 0.9), eps 1e-5, affine.
+
+    Replaces both torch BN and the reference's vendored SyncBN
+    (reference cascadePSP_model/sync_batchnorm/batchnorm.py:48-120): under pjit/GSPMD
+    the batch mean/var reductions over a sharded batch axis are *global* — XLA
+    inserts the ICI all-reduce — so synchronized BN falls out for free. Under
+    shard_map/pmap, pass `axis_name` to sync explicitly.
+
+    Statistics are always computed in float32.
+    """
+
+    use_running_average: bool = True
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    axis_name: Optional[str] = None
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, use_running_average: Optional[bool] = None):
+        out_dtype = x.dtype if self.dtype is None else self.dtype
+        ura = self.use_running_average if use_running_average is None else use_running_average
+        y = nn.BatchNorm(
+            use_running_average=ura,
+            momentum=self.momentum,
+            epsilon=self.epsilon,
+            axis_name=self.axis_name,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+            name="bn",
+        )(x.astype(jnp.float32))
+        return y.astype(out_dtype)
