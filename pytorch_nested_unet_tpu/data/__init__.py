@@ -1,0 +1,11 @@
+"""Data layer: offline preprocessing, folder datasets, on-device augmentation,
+and device-resident / host-streaming input pipelines."""
+
+from .datasets import SegmentationFolderDataset, ISICDataset, list_image_ids, split_ids
+from .pipeline import DeviceDataStore, epoch_batches
+from . import augment, preprocess
+
+__all__ = [
+    "SegmentationFolderDataset", "ISICDataset", "list_image_ids", "split_ids",
+    "DeviceDataStore", "epoch_batches", "augment", "preprocess",
+]

@@ -83,6 +83,49 @@ def lovasz_hinge_loss(logits, targets):
     return lovasz_hinge(logits, targets, per_image=True)
 
 
+def _weighted_mean(per_sample, weights):
+    weights = weights.astype(jnp.float32)
+    return jnp.sum(per_sample * weights) / jnp.maximum(jnp.sum(weights), 1.0)
+
+
+def bce_with_logits_weighted(logits, targets, weights):
+    """BCE where sample i contributes weight w_i (w=1 reproduces the unweighted
+    mean). Used for the final short validation batch (drop_last=False, padded)."""
+    logits = logits.astype(jnp.float32)
+    targets = targets.astype(jnp.float32)
+    per = jnp.maximum(logits, 0.0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    per_sample = jnp.mean(per.reshape(per.shape[0], -1), axis=1)
+    return _weighted_mean(per_sample, weights)
+
+
+def bce_dice_loss_weighted(logits, targets, weights, smooth: float = 1e-5):
+    logits = logits.astype(jnp.float32)
+    targets = targets.astype(jnp.float32)
+    bce = bce_with_logits_weighted(logits, targets, weights)
+    num = logits.shape[0]
+    probs = jax.nn.sigmoid(logits).reshape(num, -1)
+    tgt = targets.reshape(num, -1)
+    intersection = jnp.sum(probs * tgt, axis=1)
+    dice = (2.0 * intersection + smooth) / (jnp.sum(probs, axis=1) + jnp.sum(tgt, axis=1) + smooth)
+    return 0.5 * bce + (1.0 - _weighted_mean(dice, weights))
+
+
+def lovasz_hinge_loss_weighted(logits, targets, weights):
+    logits = logits.astype(jnp.float32)
+    targets = targets.astype(jnp.float32)
+    b = logits.shape[0]
+    per_image = jax.vmap(_lovasz_hinge_flat)(logits.reshape(b, -1), targets.reshape(b, -1))
+    return _weighted_mean(per_image, weights)
+
+
+def get_weighted_loss(name: str):
+    return {
+        "BCEDiceLoss": bce_dice_loss_weighted,
+        "LovaszHingeLoss": lovasz_hinge_loss_weighted,
+        "BCEWithLogitsLoss": bce_with_logits_weighted,
+    }[name]
+
+
 # Registry mirroring `losses.__all__` + manual BCEWithLogits append
 # (reference trains.py:26-28).
 BCEDiceLoss = bce_dice_loss

@@ -27,6 +27,16 @@ def iou_score(logits, targets, smooth: float = 1e-5):
     return (intersection + smooth) / (union + smooth)
 
 
+def iou_score_weighted(logits, targets, weights, smooth: float = 1e-5):
+    """IoU over valid samples only (weights 0/1 per sample) — for padded val batches."""
+    pred = jax.nn.sigmoid(logits.astype(jnp.float32)) > 0.5
+    tgt = targets.astype(jnp.float32) > 0.5
+    w = weights.astype(jnp.float32).reshape((-1,) + (1,) * (logits.ndim - 1))
+    intersection = jnp.sum(jnp.logical_and(pred, tgt) * w)
+    union = jnp.sum(jnp.logical_or(pred, tgt) * w)
+    return (intersection + smooth) / (union + smooth)
+
+
 def dice_coef(logits, targets, smooth: float = 1e-5):
     probs = jax.nn.sigmoid(logits.astype(jnp.float32)).reshape(-1)
     tgt = targets.astype(jnp.float32).reshape(-1)

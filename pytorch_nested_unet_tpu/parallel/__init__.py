@@ -1,0 +1,12 @@
+"""Parallelism: device meshes and sharding rules.
+
+The reference's entire distributed story is a vendored thread-queue SyncBN for
+single-node DataParallel (SURVEY.md §2.5). The TPU-native replacement is GSPMD:
+shard the batch axis over a mesh, jit the train step with sharding constraints,
+and XLA inserts the ICI collectives — including the BN moment all-reduce that
+SyncBN hand-rolled (reference sync_batchnorm/batchnorm.py:90-111).
+"""
+
+from .mesh import make_mesh, batch_sharding, replicated_sharding, shard_train_step
+
+__all__ = ["make_mesh", "batch_sharding", "replicated_sharding", "shard_train_step"]

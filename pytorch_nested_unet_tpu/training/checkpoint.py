@@ -1,0 +1,75 @@
+"""Checkpointing.
+
+The reference saves best-val-IoU `model.pth` (state_dict only, reference
+trains.py:344-349) plus the config.yml capsule; there is no mid-training resume.
+We keep that layout and add full resume:
+
+  models/<name>/config.yml     — config capsule (utils.config)
+  models/<name>/model.msgpack  — best-IoU {params, batch_stats}  (= model.pth)
+  models/<name>/last.msgpack   — full state {params, batch_stats, opt_state,
+                                 epoch, best_iou, trigger} for resume
+"""
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def _to_host(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_model(model_dir: str, params, batch_stats):
+    """Best-IoU model weights (the `model.pth` analogue)."""
+    blob = serialization.to_bytes({"params": _to_host(params),
+                                   "batch_stats": _to_host(batch_stats)})
+    with open(os.path.join(model_dir, "model.msgpack"), "wb") as f:
+        f.write(blob)
+
+
+def load_model(model_dir: str, template: Dict[str, Any]):
+    """Restore {params, batch_stats} into the given template pytree."""
+    with open(os.path.join(model_dir, "model.msgpack"), "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
+def save_training_state(model_dir: str, state, epoch: int, best_iou: float,
+                        trigger: int):
+    blob = serialization.to_bytes({
+        "params": _to_host(state.params),
+        "batch_stats": _to_host(state.batch_stats),
+        "opt_state": serialization.to_state_dict(_to_host(state.opt_state)),
+        "epoch": epoch,
+        "best_iou": float(best_iou),
+        "trigger": int(trigger),
+    })
+    tmp = os.path.join(model_dir, "last.msgpack.tmp")
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, os.path.join(model_dir, "last.msgpack"))
+
+
+def load_training_state(model_dir: str, state):
+    """Restore into a freshly-created TrainState; returns
+    (state, epoch, best_iou, trigger) or None if no checkpoint exists."""
+    path = os.path.join(model_dir, "last.msgpack")
+    if not os.path.exists(path):
+        return None
+    template = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": serialization.to_state_dict(state.opt_state),
+        "epoch": 0,
+        "best_iou": 0.0,
+        "trigger": 0,
+    }
+    with open(path, "rb") as f:
+        restored = serialization.from_bytes(template, f.read())
+    opt_state = serialization.from_state_dict(state.opt_state, restored["opt_state"])
+    state = state.replace(params=restored["params"],
+                          batch_stats=restored["batch_stats"],
+                          opt_state=opt_state)
+    return state, int(restored["epoch"]), float(restored["best_iou"]), int(restored["trigger"])

@@ -1,0 +1,107 @@
+"""Jitted train/eval step builders.
+
+One fused XLA program per step: gather batch from the device-resident dataset,
+augment, normalize, forward, loss, backward, optimizer update, metrics — the
+host never touches tensor data inside an epoch (contrast: the reference syncs
+device→host every step for iou_score, reference metrics.py:10-12, trains.py:114-135).
+
+Deep supervision averages the loss over the 4 heads and computes IoU on the last
+head (reference trains.py:118-124). Donated state buffers keep HBM flat.
+"""
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..data.augment import _augment_one, eval_transform
+from ..losses import get_loss, get_weighted_loss
+from ..metrics import iou_score, iou_score_weighted
+from .state import TrainState
+
+
+def _forward(model, params, batch_stats, images, train: bool):
+    variables = {"params": params, "batch_stats": batch_stats}
+    if train:
+        outs, mut = model.apply(variables, images, train=True, mutable=["batch_stats"])
+        return outs, mut["batch_stats"]
+    return model.apply(variables, images, train=False), batch_stats
+
+
+def _as_heads(outputs):
+    return outputs if isinstance(outputs, (list, tuple)) else [outputs]
+
+
+def make_train_step(model, tx, loss_name: str, deep_supervision: bool,
+                    augment: bool = True, donate: bool = True, mesh=None,
+                    spatial: bool = False):
+    """Returns step(state, images_u8, masks_u8, key) -> (state, metrics).
+
+    images_u8/masks_u8 are raw uint8 batches (already gathered/sliced); the
+    augmentation+normalization runs inside this jitted program. With `mesh`,
+    the step is pjit-sharded: state replicated, batch over the 'data' axis
+    (+ H/W over 'x'/'y' if spatial) — see parallel.mesh.
+    """
+    loss_fn = get_loss(loss_name)
+
+    def step(state: TrainState, images_u8, masks_u8, key):
+        keys = jax.random.split(key, images_u8.shape[0])
+        images, masks = jax.vmap(_augment_one, in_axes=(0, 0, 0, None))(
+            keys, images_u8, masks_u8, augment)
+
+        def compute_loss(params):
+            outputs, new_stats = _forward(model, params, state.batch_stats, images, True)
+            heads = _as_heads(outputs)
+            loss = sum(loss_fn(o, masks) for o in heads) / len(heads)
+            return loss, (new_stats, heads[-1])
+
+        (loss, (new_stats, final_out)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, "iou": iou_score(final_out, masks)}
+        new_state = state.replace(params=new_params, batch_stats=new_stats,
+                                  opt_state=new_opt_state, step=state.step + 1)
+        return new_state, metrics
+
+    if mesh is not None:
+        from ..parallel.mesh import shard_train_step
+
+        return shard_train_step(step, mesh, donate_state=donate, spatial=spatial)
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, loss_name: str, deep_supervision: bool):
+    """Returns eval_step(params, batch_stats, images_u8, masks_u8, weights) -> metrics.
+
+    weights is a (B,) 0/1 vector marking valid (non-padding) samples so the
+    final short batch of a drop_last=False loader is scored exactly like the
+    reference's batch-size-weighted AverageMeter.
+    """
+    wloss_fn = get_weighted_loss(loss_name)
+
+    @jax.jit
+    def eval_step(params, batch_stats, images_u8, masks_u8, weights):
+        images, masks = eval_transform(images_u8, masks_u8)
+        outputs, _ = _forward(model, params, batch_stats, images, False)
+        heads = _as_heads(outputs)
+        loss = sum(wloss_fn(o, masks, weights) for o in heads) / len(heads)
+        return {"loss": loss, "iou": iou_score_weighted(heads[-1], masks, weights)}
+
+    return eval_step
+
+
+def make_predict_fn(model, deep_supervision: bool):
+    """Returns predict(params, batch_stats, images_u8) -> sigmoid probabilities
+    of the final head (val.py semantics, reference val.py:92-100)."""
+
+    @jax.jit
+    def predict(params, batch_stats, images_u8):
+        images, _ = eval_transform(images_u8, jnp.zeros_like(images_u8))
+        outputs, _ = _forward(model, params, batch_stats, images, False)
+        heads = _as_heads(outputs)
+        return jax.nn.sigmoid(heads[-1])
+
+    return predict

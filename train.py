@@ -1,0 +1,265 @@
+#!/usr/bin/env python
+"""Training CLI — flag-compatible with the reference trainer (reference
+trains.py:31-103) plus TPU-specific extras.
+
+Example (reference README protocol):
+    python train.py --dataset dsb2018_96 --arch NestedUNet --deep_supervision true
+
+Same outputs as the reference: models/<name>/{config.yml, log.csv} and a
+best-val-IoU checkpoint (model.msgpack = model.pth analogue); name convention
+<dataset>_<arch>_{w,wo}DS (reference trains.py:194-198). Extras: --data_dir,
+--precision bf16|fp32, --seed, --resume, --spatial_partition, --dataset_layout.
+"""
+
+import argparse
+import os
+import sys
+import time
+from collections import OrderedDict
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import pandas as pd
+
+from pytorch_nested_unet_tpu import models
+from pytorch_nested_unet_tpu.losses import LOSS_NAMES
+from pytorch_nested_unet_tpu.data import (
+    DeviceDataStore, ISICDataset, SegmentationFolderDataset, epoch_batches,
+    list_image_ids, split_ids,
+)
+from pytorch_nested_unet_tpu.parallel import make_mesh
+from pytorch_nested_unet_tpu.training import (
+    LRSchedule, TrainState, build_optimizer, checkpoint, make_eval_step,
+    make_train_step, set_learning_rate,
+)
+from pytorch_nested_unet_tpu.training.optim import get_learning_rate
+from pytorch_nested_unet_tpu.utils import AverageMeter, count_params, save_config, str2bool
+
+ARCH_NAMES = models.arch_names()
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser()
+
+    parser.add_argument('--name', default=None,
+                        help='model name: (default: <dataset>_<arch>_{w,wo}DS)')
+    parser.add_argument('--epochs', default=100, type=int, metavar='N')
+    parser.add_argument('-b', '--batch_size', default=16, type=int, metavar='N')
+
+    # model
+    parser.add_argument('--arch', '-a', metavar='ARCH', default='NestedUNet',
+                        choices=ARCH_NAMES,
+                        help='model architecture: ' + ' | '.join(ARCH_NAMES))
+    parser.add_argument('--deep_supervision', default=False, type=str2bool)
+    parser.add_argument('--input_channels', default=3, type=int)
+    parser.add_argument('--num_classes', default=1, type=int)
+    parser.add_argument('--input_w', default=96, type=int)
+    parser.add_argument('--input_h', default=96, type=int)
+
+    # loss
+    parser.add_argument('--loss', default='BCEDiceLoss', choices=LOSS_NAMES)
+
+    # dataset
+    parser.add_argument('--dataset', default='dsb2018_96')
+    parser.add_argument('--img_ext', default='.png')
+    parser.add_argument('--mask_ext', default='.png')
+
+    # optimizer
+    parser.add_argument('--optimizer', default='SGD', choices=['Adam', 'SGD'])
+    parser.add_argument('--lr', '--learning_rate', default=1e-3, type=float)
+    parser.add_argument('--momentum', default=0.9, type=float)
+    parser.add_argument('--weight_decay', default=1e-4, type=float)
+    parser.add_argument('--nesterov', default=False, type=str2bool)
+
+    # scheduler
+    parser.add_argument('--scheduler', default='CosineAnnealingLR',
+                        choices=['CosineAnnealingLR', 'ReduceLROnPlateau',
+                                 'MultiStepLR', 'ConstantLR'])
+    parser.add_argument('--min_lr', default=1e-5, type=float)
+    parser.add_argument('--factor', default=0.1, type=float)
+    parser.add_argument('--patience', default=2, type=int)
+    parser.add_argument('--milestones', default='1,2', type=str)
+    parser.add_argument('--gamma', default=2 / 3, type=float)
+    parser.add_argument('--early_stopping', default=-1, type=int, metavar='N')
+
+    parser.add_argument('--num_workers', default=4, type=int,
+                        help='kept for flag parity; the device-resident pipeline has no workers')
+
+    # TPU-native extras
+    parser.add_argument('--data_dir', default='inputs')
+    parser.add_argument('--output_dir', default='models')
+    parser.add_argument('--precision', default='bf16', choices=['bf16', 'fp32'],
+                        help='conv compute dtype (params always fp32)')
+    parser.add_argument('--seed', default=41, type=int)
+    parser.add_argument('--resume', default=False, type=str2bool,
+                        help='resume from models/<name>/last.msgpack')
+    parser.add_argument('--dataset_layout', default='generic', choices=['generic', 'isic'])
+    parser.add_argument('--spatial_partition', default=False, type=str2bool,
+                        help='also shard H/W over the mesh (halo via XLA SPMD)')
+
+    return vars(parser.parse_args(argv))
+
+
+def build_datasets(config):
+    base = os.path.join(config['data_dir'], config['dataset'])
+    img_dir = os.path.join(base, 'images')
+    if config['dataset_layout'] == 'isic':
+        mask_dir = os.path.join(base, 'mask')
+        ds_cls = ISICDataset
+    else:
+        mask_dir = os.path.join(base, 'masks')
+        ds_cls = SegmentationFolderDataset
+    img_ids = list_image_ids(img_dir, config['img_ext'])
+    if not img_ids:
+        sys.exit(f"no images found under {img_dir} (*{config['img_ext']})")
+    train_ids, val_ids = split_ids(img_ids, 0.2, 41)
+    mk = lambda ids: ds_cls(ids, img_dir, mask_dir, config['img_ext'],
+                            config['mask_ext'], config['num_classes'])
+    return mk(train_ids), mk(val_ids)
+
+
+def main(argv=None):
+    config = parse_args(argv)
+
+    if config['name'] is None:
+        tag = 'wDS' if config['deep_supervision'] else 'woDS'
+        config['name'] = f"{config['dataset']}_{config['arch']}_{tag}"
+    model_dir = os.path.join(config['output_dir'], config['name'])
+    os.makedirs(model_dir, exist_ok=True)
+
+    print('-' * 20)
+    for k in sorted(config):
+        print(f'{k}: {config[k]}')
+    print('-' * 20)
+    save_config(config, model_dir)
+
+    dtype = jnp.bfloat16 if config['precision'] == 'bf16' else None
+    model = models.create_model(config['arch'], config['num_classes'],
+                                config['input_channels'],
+                                config['deep_supervision'], dtype=dtype)
+
+    size_hw = (config['input_h'], config['input_w'])
+    train_ds, val_ds = build_datasets(config)
+    print(f"train {len(train_ds)} / val {len(val_ds)} images")
+
+    n_dev = len(jax.devices())
+    mesh = None
+    if n_dev > 1:
+        if config['batch_size'] % n_dev == 0:
+            mesh = make_mesh()
+            print(f"mesh: {n_dev} devices over axis 'data'")
+        else:
+            print(f"warning: batch_size {config['batch_size']} not divisible by "
+                  f"{n_dev} devices; running single-device")
+
+    tr_images, tr_masks, _ = train_ds.load_all(size_hw)
+    va_images, va_masks, _ = val_ds.load_all(size_hw)
+    train_store = DeviceDataStore(tr_images, tr_masks, mesh)
+    val_store = DeviceDataStore(va_images, va_masks, mesh)
+
+    sample = jnp.zeros((2, *size_hw, config['input_channels']), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(config['seed']), sample, train=True)
+    print(f"arch {config['arch']}: {count_params(variables['params']):,} params")
+
+    tx = build_optimizer(config['optimizer'], config['lr'], config['momentum'],
+                         config['weight_decay'], config['nesterov'])
+    state = TrainState.create(variables, tx)
+
+    sched = LRSchedule(config['scheduler'], config['lr'], config['epochs'],
+                       config['min_lr'], config['factor'], config['patience'],
+                       [int(e) for e in str(config['milestones']).split(',')],
+                       config['gamma'])
+
+    train_step = make_train_step(model, tx, config['loss'],
+                                 config['deep_supervision'], mesh=mesh,
+                                 spatial=config['spatial_partition'])
+    eval_step = make_eval_step(model, config['loss'], config['deep_supervision'])
+
+    start_epoch, best_iou, trigger = 0, 0.0, 0
+    if config['resume']:
+        restored = checkpoint.load_training_state(model_dir, state)
+        if restored:
+            state, start_epoch, best_iou, trigger = restored
+            start_epoch += 1
+            print(f"resumed from epoch {start_epoch - 1} (best iou {best_iou:.4f})")
+
+    log = OrderedDict([('epoch', []), ('lr', []), ('loss', []), ('iou', []),
+                       ('val_loss', []), ('val_iou', [])])
+    log_path = os.path.join(model_dir, 'log.csv')
+    if config['resume'] and os.path.exists(log_path):
+        prev = pd.read_csv(log_path)
+        for k in log:
+            log[k] = list(prev[k][:start_epoch])
+
+    data_rng = np.random.default_rng(config['seed'])
+    key = jax.random.PRNGKey(config['seed'] + 1)
+
+    for epoch in range(start_epoch, config['epochs']):
+        lr = sched.epoch_lr(epoch)
+        state = state.replace(opt_state=set_learning_rate(state.opt_state, lr))
+        t0 = time.time()
+
+        # ---- train ----
+        tr_meters = {'loss': AverageMeter(), 'iou': AverageMeter()}
+        pending = []
+        for idx, valid in epoch_batches(len(train_store), config['batch_size'],
+                                        data_rng, shuffle=True, drop_last=True):
+            key, sub = jax.random.split(key)
+            imgs = jnp.take(train_store.images, jnp.asarray(idx), axis=0)
+            msks = jnp.take(train_store.masks, jnp.asarray(idx), axis=0)
+            state, metrics = train_step(state, imgs, msks, sub)
+            pending.append((metrics, valid))
+        for metrics, valid in pending:
+            tr_meters['loss'].update(float(metrics['loss']), valid)
+            tr_meters['iou'].update(float(metrics['iou']), valid)
+
+        # ---- validate ----
+        va_meters = {'loss': AverageMeter(), 'iou': AverageMeter()}
+        pending = []
+        for idx, valid in epoch_batches(len(val_store), config['batch_size'],
+                                        data_rng, shuffle=False, drop_last=False):
+            imgs = jnp.take(val_store.images, jnp.asarray(idx), axis=0)
+            msks = jnp.take(val_store.masks, jnp.asarray(idx), axis=0)
+            weights = jnp.asarray((np.arange(len(idx)) < valid).astype(np.float32))
+            metrics = eval_step(state.params, state.batch_stats, imgs, msks, weights)
+            pending.append((metrics, valid))
+        for metrics, valid in pending:
+            va_meters['loss'].update(float(metrics['loss']), valid)
+            va_meters['iou'].update(float(metrics['iou']), valid)
+
+        sched.plateau_step(va_meters['loss'].avg)
+
+        dt = time.time() - t0
+        print(f"epoch [{epoch}/{config['epochs']}] "
+              f"loss {tr_meters['loss'].avg:.4f} - iou {tr_meters['iou'].avg:.4f} "
+              f"- val_loss {va_meters['loss'].avg:.4f} - val_iou {va_meters['iou'].avg:.4f} "
+              f"({dt:.1f}s, {tr_meters['loss'].count / max(dt, 1e-9):.1f} img/s)")
+
+        log['epoch'].append(epoch)
+        log['lr'].append(lr)  # actual scheduled lr (the reference logs initial lr — bug fixed)
+        log['loss'].append(tr_meters['loss'].avg)
+        log['iou'].append(tr_meters['iou'].avg)
+        log['val_loss'].append(va_meters['loss'].avg)
+        log['val_iou'].append(va_meters['iou'].avg)
+        pd.DataFrame(log).to_csv(log_path, index=False)
+
+        trigger += 1
+        if va_meters['iou'].avg > best_iou:
+            checkpoint.save_model(model_dir, state.params, state.batch_stats)
+            best_iou = va_meters['iou'].avg
+            print("=> saved best model")
+            trigger = 0
+        checkpoint.save_training_state(model_dir, state, epoch, best_iou, trigger)
+
+        if 0 <= config['early_stopping'] <= trigger:
+            print("=> early stopping")
+            break
+
+    print(f"best val iou: {best_iou:.4f}")
+    return best_iou
+
+
+if __name__ == '__main__':
+    main()

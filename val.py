@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Evaluation CLI (reference val.py:31-113): reload the config capsule, rebuild
+the model, load the best checkpoint, re-derive the seed-41 val split, write
+per-class sigmoid masks x255 as JPEGs to outputs/<name>/<c>/, print IoU."""
+
+import argparse
+import os
+
+import cv2
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pytorch_nested_unet_tpu import models
+from pytorch_nested_unet_tpu.data import (
+    ISICDataset, SegmentationFolderDataset, epoch_batches, list_image_ids, split_ids,
+)
+from pytorch_nested_unet_tpu.training import checkpoint
+from pytorch_nested_unet_tpu.training.loop import make_predict_fn
+from pytorch_nested_unet_tpu.utils import AverageMeter, load_config
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--name', default=None, required=True,
+                        help='model name (models/<name>)')
+    parser.add_argument('--data_dir', default='inputs')
+    parser.add_argument('--output_dir', default='models')
+    parser.add_argument('--save_dir', default='outputs')
+    parser.add_argument('-b', '--batch_size', default=16, type=int)
+    return vars(parser.parse_args(argv))
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    model_dir = os.path.join(args['output_dir'], args['name'])
+    config = load_config(model_dir)
+
+    print('-' * 20)
+    for k in sorted(config):
+        print(f'{k}: {config[k]}')
+    print('-' * 20)
+
+    dtype = jnp.bfloat16 if config.get('precision') == 'bf16' else None
+    model = models.create_model(config['arch'], config['num_classes'],
+                                config['input_channels'],
+                                config['deep_supervision'], dtype=dtype)
+
+    size_hw = (config['input_h'], config['input_w'])
+    base = os.path.join(args['data_dir'], config['dataset'])
+    img_dir = os.path.join(base, 'images')
+    if config.get('dataset_layout') == 'isic':
+        mask_dir = os.path.join(base, 'mask')
+        ds_cls = ISICDataset
+    else:
+        mask_dir = os.path.join(base, 'masks')
+        ds_cls = SegmentationFolderDataset
+
+    img_ids = list_image_ids(img_dir, config['img_ext'])
+    _, val_ids = split_ids(img_ids, 0.2, 41)  # split contract (reference val.py:56)
+    val_ds = ds_cls(val_ids, img_dir, mask_dir, config['img_ext'],
+                    config['mask_ext'], config['num_classes'])
+    images, masks, ids = val_ds.load_all(size_hw)
+
+    sample = jnp.zeros((1, *size_hw, config['input_channels']), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), sample, train=True)
+    restored = checkpoint.load_model(model_dir, {
+        'params': variables['params'],
+        'batch_stats': variables.get('batch_stats', {})})
+    params, batch_stats = restored['params'], restored['batch_stats']
+
+    predict = make_predict_fn(model, config['deep_supervision'])
+
+    for c in range(config['num_classes']):
+        os.makedirs(os.path.join(args['save_dir'], args['name'], str(c)), exist_ok=True)
+
+    meter = AverageMeter()
+    rng = np.random.default_rng(0)
+    for idx, valid in epoch_batches(len(ids), args['batch_size'], rng,
+                                    shuffle=False, drop_last=False):
+        imgs = jnp.asarray(images[idx])
+        msks = jnp.asarray(masks[idx])
+        probs = predict(params, batch_stats, imgs)
+        probs_np = np.asarray(probs)
+        # hard IoU at 0.5 (reference metrics.py:6-18) over the valid samples
+        pred = probs_np[:valid] > 0.5
+        tgt = (np.asarray(msks)[:valid].astype(np.float32) / 255.0) > 0.5
+        iou = ((pred & tgt).sum() + 1e-5) / ((pred | tgt).sum() + 1e-5)
+        meter.update(float(iou), valid)
+        for j in range(valid):
+            img_id = ids[idx[j]]
+            for c in range(config['num_classes']):
+                out_path = os.path.join(args['save_dir'], args['name'], str(c),
+                                        img_id + '.jpg')
+                cv2.imwrite(out_path, (probs_np[j, :, :, c] * 255).astype('uint8'))
+
+    print(f'IoU: {meter.avg:.4f}')
+    return meter.avg
+
+
+if __name__ == '__main__':
+    main()
