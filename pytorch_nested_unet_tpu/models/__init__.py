@@ -14,6 +14,23 @@ import flax.linen as nn
 
 from .unet import UNet
 from .nested_unet import NestedUNet
+from .rdc import RDC, UNetRNN, UNetRM3, UNetRM7
+from .ghost import GhostBottleneck, GhostModule, SqueezeExcite, UNetRNNGhost
+from .dual_attention import (
+    CAMModule, DualAttentionBlock, PAMModule, UNetRNNAttention,
+    UNetRNNCAttention, UNetRNNPAttention,
+)
+from .attention_unet import AttU_Net, R2AttU_Net, R2U_Net
+from .canet import (
+    Comprehensive_Atten_Unet, GridAttentionBlock2D, MultiAttentionBlock,
+    NonLocalBlock2D, ScaleAttenConvBlock, SEConvBlock, UpCat,
+)
+from .nonlocal_attention import MultiHeadAttention2D, multi_head_attention_2d
+from .crdn_backbones import (
+    BasicBlock, Bottleneck, ResNet18RNN, ResNet34RNN, ResNet50FCN, ResNet50RNN,
+    ResNet50UNet, ResNet101RNN, ResNet152RNN, ResNetFCN, ResNetRNN, ResNetUNet,
+    VGG16RNN,
+)
 
 _REGISTRY: Dict[str, Type[nn.Module]] = {}
 
@@ -47,8 +64,32 @@ def create_model(name: str, num_classes: int = 1, input_channels: int = 3,
 
 register(UNet)
 register(NestedUNet)
+register(UNetRNN)
+register(UNetRM3)
+register(UNetRM7)
+register(UNetRNNGhost)
+register(UNetRNNPAttention)
+register(UNetRNNCAttention)
+register(UNetRNNAttention)
+register(AttU_Net)
+register(R2U_Net)
+register(R2AttU_Net)
+register(Comprehensive_Atten_Unet)
+register(VGG16RNN)
+for _f in (ResNet18RNN, ResNet34RNN, ResNet50RNN, ResNet101RNN, ResNet152RNN,
+           ResNet50UNet, ResNet50FCN):
+    register(_f, name=_f.__name__)
 
 ARCH_NAMES = arch_names()
 
-__all__ = ["UNet", "NestedUNet", "create_model", "get_arch", "arch_names",
-           "register", "ARCH_NAMES"]
+__all__ = ["UNet", "NestedUNet", "Comprehensive_Atten_Unet",
+           "UNetRNN", "UNetRM3", "UNetRM7",
+           "UNetRNNGhost", "UNetRNNPAttention", "UNetRNNCAttention",
+           "UNetRNNAttention", "AttU_Net", "R2U_Net", "R2AttU_Net",
+           "VGG16RNN", "ResNetRNN", "ResNet18RNN", "ResNet34RNN", "ResNet50RNN",
+           "ResNet101RNN", "ResNet152RNN", "ResNetUNet", "ResNet50UNet",
+           "ResNetFCN", "ResNet50FCN", "BasicBlock", "Bottleneck",
+           "RDC", "GhostModule", "GhostBottleneck", "SqueezeExcite",
+           "PAMModule", "CAMModule", "DualAttentionBlock",
+           "MultiHeadAttention2D", "multi_head_attention_2d",
+           "create_model", "get_arch", "arch_names", "register", "ARCH_NAMES"]

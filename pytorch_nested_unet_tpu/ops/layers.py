@@ -75,6 +75,7 @@ class TorchConvTranspose(nn.Module):
     kernel_size: IntPair = 2
     stride: IntPair = 2
     padding: IntPair = 0
+    output_padding: IntPair = 0
     use_bias: bool = True
     dtype: Any = None
 
@@ -82,6 +83,7 @@ class TorchConvTranspose(nn.Module):
     def __call__(self, x):
         kh, kw = _pair(self.kernel_size)
         ph, pw = _pair(self.padding)
+        oph, opw = _pair(self.output_padding)
         fan_in = kh * kw * self.features
         if self.dtype is not None:
             x = x.astype(self.dtype)
@@ -89,7 +91,7 @@ class TorchConvTranspose(nn.Module):
             features=self.features,
             kernel_size=(kh, kw),
             strides=_pair(self.stride),
-            padding=((kh - 1 - ph, kh - 1 - ph), (kw - 1 - pw, kw - 1 - pw)),
+            padding=((kh - 1 - ph, kh - 1 - ph + oph), (kw - 1 - pw, kw - 1 - pw + opw)),
             use_bias=self.use_bias,
             kernel_init=torch_transpose_kernel_init,
             bias_init=torch_bias_init(fan_in),
