@@ -74,3 +74,54 @@ def resize_nearest(x, out_hw):
 def upsample2x(x, align_corners: bool = True):
     """2x bilinear upsample, the decoder hot path (reference archs_backup.py:93)."""
     return resize_bilinear(x, (x.shape[-3] * 2, x.shape[-2] * 2), align_corners)
+
+
+def resize_area(x, out_hw):
+    """`F.interpolate(mode='area')` — torch implements it as adaptive average
+    pooling (used by the CascadePSP driver's downscales, eval_helper.py:9-11)."""
+    from .pool import adaptive_avg_pool
+
+    return adaptive_avg_pool(x, out_hw)
+
+
+def _cubic_kernel(t, a: float = -0.75):
+    """Cubic convolution kernel (Keys), torch's bicubic with a=-0.75."""
+    at = np.abs(t)
+    at2, at3 = at * at, at * at * at
+    w = np.where(at <= 1,
+                 (a + 2) * at3 - (a + 3) * at2 + 1,
+                 np.where(at < 2, a * at3 - 5 * a * at2 + 8 * a * at - 4 * a, 0.0))
+    return w
+
+
+def resize_bicubic(x, out_hw, align_corners: bool = False):
+    """Separable bicubic resize matching `F.interpolate(mode='bicubic')`
+    (border-clamped 4-tap cubic, half-pixel centers when align_corners=False).
+    Used by the CascadePSP driver's upscales (eval_helper.py:9-11)."""
+    out_h, out_w = int(out_hw[0]), int(out_hw[1])
+
+    def axis(x, ax, in_size, out_size):
+        if in_size == out_size:
+            return x
+        out_idx = np.arange(out_size, dtype=np.float64)
+        if align_corners and out_size > 1:
+            pos = out_idx * (in_size - 1) / (out_size - 1)
+        else:
+            pos = (out_idx + 0.5) * in_size / out_size - 0.5
+        i0 = np.floor(pos).astype(np.int64)
+        taps, weights = [], []
+        for k in (-1, 0, 1, 2):
+            idx = np.clip(i0 + k, 0, in_size - 1)
+            taps.append(idx.astype(np.int32))
+            weights.append(_cubic_kernel(pos - (i0 + k)).astype(np.float32))
+        shape = [1] * x.ndim
+        shape[ax] = -1
+        acc = 0.0
+        for idx, w in zip(taps, weights):
+            acc = acc + jnp.take(x, jnp.asarray(idx), axis=ax) * \
+                jnp.asarray(w, x.dtype).reshape(shape)
+        return acc
+
+    x = axis(x, x.ndim - 3, x.shape[-3], out_h)
+    x = axis(x, x.ndim - 2, x.shape[-2], out_w)
+    return x
