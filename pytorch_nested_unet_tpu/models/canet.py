@@ -381,4 +381,10 @@ class Comprehensive_Atten_Unet(nn.Module):
 
         out = ScaleAttenConvBlock(4, dtype=dt, name="scale_att")(dsv_cat, train)
         out = TorchConv(self.num_classes, 1, dtype=dt, name="final")(out)
+        if self.num_classes == 1:
+            # The reference's Softmax2d (archs.py:900) over a single channel is
+            # the constant 1.0 — untrainable with the binary-segmentation
+            # trainers that default to num_classes=1 (train_Canet.py:56-57).
+            # Intended behavior: return the raw logit for the binary case.
+            return out.astype(jnp.float32)
         return jax.nn.softmax(out.astype(jnp.float32), axis=-1)

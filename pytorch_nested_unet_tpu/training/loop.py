@@ -18,14 +18,16 @@ import optax
 
 from ..data.augment import _augment_one, eval_transform
 from ..losses import get_loss, get_weighted_loss
-from ..metrics import iou_score, iou_score_weighted
+from ..metrics import iou_score, iou_score_weighted, pixel_accuracy
 from .state import TrainState
 
 
-def _forward(model, params, batch_stats, images, train: bool):
+def _forward(model, params, batch_stats, images, train: bool, dropout_rng=None):
     variables = {"params": params, "batch_stats": batch_stats}
     if train:
-        outs, mut = model.apply(variables, images, train=True, mutable=["batch_stats"])
+        rngs = {"dropout": dropout_rng} if dropout_rng is not None else None
+        outs, mut = model.apply(variables, images, train=True,
+                                mutable=["batch_stats"], rngs=rngs)
         return outs, mut["batch_stats"]
     return model.apply(variables, images, train=False), batch_stats
 
@@ -47,12 +49,14 @@ def make_train_step(model, tx, loss_name: str, deep_supervision: bool,
     loss_fn = get_loss(loss_name)
 
     def step(state: TrainState, images_u8, masks_u8, key):
+        key, dropout_key = jax.random.split(key)
         keys = jax.random.split(key, images_u8.shape[0])
         images, masks = jax.vmap(_augment_one, in_axes=(0, 0, 0, None))(
             keys, images_u8, masks_u8, augment)
 
         def compute_loss(params):
-            outputs, new_stats = _forward(model, params, state.batch_stats, images, True)
+            outputs, new_stats = _forward(model, params, state.batch_stats, images,
+                                          True, dropout_rng=dropout_key)
             heads = _as_heads(outputs)
             loss = sum(loss_fn(o, masks) for o in heads) / len(heads)
             return loss, (new_stats, heads[-1])
@@ -61,7 +65,8 @@ def make_train_step(model, tx, loss_name: str, deep_supervision: bool,
             compute_loss, has_aux=True)(state.params)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        metrics = {"loss": loss, "iou": iou_score(final_out, masks)}
+        metrics = {"loss": loss, "iou": iou_score(final_out, masks),
+                   "acc": pixel_accuracy(final_out, masks)}
         new_state = state.replace(params=new_params, batch_stats=new_stats,
                                   opt_state=new_opt_state, step=state.step + 1)
         return new_state, metrics
@@ -88,7 +93,9 @@ def make_eval_step(model, loss_name: str, deep_supervision: bool):
         outputs, _ = _forward(model, params, batch_stats, images, False)
         heads = _as_heads(outputs)
         loss = sum(wloss_fn(o, masks, weights) for o in heads) / len(heads)
-        return {"loss": loss, "iou": iou_score_weighted(heads[-1], masks, weights)}
+        return {"loss": loss,
+                "iou": iou_score_weighted(heads[-1], masks, weights),
+                "acc": pixel_accuracy(heads[-1], masks)}
 
     return eval_step
 

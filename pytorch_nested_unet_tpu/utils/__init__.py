@@ -2,6 +2,7 @@
 
 from .config import str2bool, save_config, load_config
 from .meters import AverageMeter
+from .plotting import plot_data, read_log
 
 import jax
 import numpy as np
@@ -12,4 +13,5 @@ def count_params(params) -> int:
     return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
 
 
-__all__ = ["str2bool", "save_config", "load_config", "AverageMeter", "count_params"]
+__all__ = ["str2bool", "save_config", "load_config", "AverageMeter",
+           "count_params", "plot_data", "read_log"]

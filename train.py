@@ -96,28 +96,57 @@ def parse_args(argv=None):
     parser.add_argument('--resume', default=False, type=str2bool,
                         help='resume from models/<name>/last.msgpack')
     parser.add_argument('--dataset_layout', default='generic', choices=['generic', 'isic'])
+    parser.add_argument('--augment', default='full', choices=['full', 'none'],
+                        help="'full' = rot90/flip/color jitter (trains.py:257-266); "
+                             "'none' = Resize+Normalize only (the ISIC scripts' "
+                             "commented-out augs, train_ISIC.py:282-296)")
+    parser.add_argument('--log_acc', default=False, type=str2bool,
+                        help='log pixel-accuracy columns like trainISIC_wAcc.py:339-368')
     parser.add_argument('--spatial_partition', default=False, type=str2bool,
                         help='also shard H/W over the mesh (halo via XLA SPMD)')
 
     return vars(parser.parse_args(argv))
 
 
+def _dirs_for(base, layout):
+    """Resolve (img_dir, mask_dir) under `base` for a layout. The ISIC layout
+    uses flat 'image'/'mask' dirs (reference train_ISIC.py:268-280,300-308);
+    generic uses 'images'/'masks/<c>' (reference trains.py:274-289)."""
+    if layout == 'isic':
+        for img_name in ('image', 'images'):
+            if os.path.isdir(os.path.join(base, img_name)):
+                return os.path.join(base, img_name), os.path.join(base, 'mask')
+        return os.path.join(base, 'image'), os.path.join(base, 'mask')
+    return os.path.join(base, 'images'), os.path.join(base, 'masks')
+
+
 def build_datasets(config):
+    """Two dataset layouts, mirroring the reference trainers:
+      - seed-41 80/20 split of one pool (trains.py:252-255), or
+      - physical train/ + test/ dirs when they exist (train_ISIC.py:268-280).
+    """
     base = os.path.join(config['data_dir'], config['dataset'])
-    img_dir = os.path.join(base, 'images')
-    if config['dataset_layout'] == 'isic':
-        mask_dir = os.path.join(base, 'mask')
-        ds_cls = ISICDataset
-    else:
-        mask_dir = os.path.join(base, 'masks')
-        ds_cls = SegmentationFolderDataset
+    ds_cls = ISICDataset if config['dataset_layout'] == 'isic' else SegmentationFolderDataset
+
+    def mk(ids, img_dir, mask_dir):
+        return ds_cls(ids, img_dir, mask_dir, config['img_ext'],
+                      config['mask_ext'], config['num_classes'])
+
+    if os.path.isdir(os.path.join(base, 'train')):
+        tr_img, tr_mask = _dirs_for(os.path.join(base, 'train'), config['dataset_layout'])
+        va_img, va_mask = _dirs_for(os.path.join(base, 'test'), config['dataset_layout'])
+        train_ids = list_image_ids(tr_img, config['img_ext'])
+        val_ids = list_image_ids(va_img, config['img_ext'])
+        if not train_ids:
+            sys.exit(f"no images found under {tr_img} (*{config['img_ext']})")
+        return mk(train_ids, tr_img, tr_mask), mk(val_ids, va_img, va_mask)
+
+    img_dir, mask_dir = _dirs_for(base, config['dataset_layout'])
     img_ids = list_image_ids(img_dir, config['img_ext'])
     if not img_ids:
         sys.exit(f"no images found under {img_dir} (*{config['img_ext']})")
     train_ids, val_ids = split_ids(img_ids, 0.2, 41)
-    mk = lambda ids: ds_cls(ids, img_dir, mask_dir, config['img_ext'],
-                            config['mask_ext'], config['num_classes'])
-    return mk(train_ids), mk(val_ids)
+    return mk(train_ids, img_dir, mask_dir), mk(val_ids, img_dir, mask_dir)
 
 
 def main(argv=None):
@@ -173,7 +202,8 @@ def main(argv=None):
                        config['gamma'])
 
     train_step = make_train_step(model, tx, config['loss'],
-                                 config['deep_supervision'], mesh=mesh,
+                                 config['deep_supervision'],
+                                 augment=config['augment'] == 'full', mesh=mesh,
                                  spatial=config['spatial_partition'])
     eval_step = make_eval_step(model, config['loss'], config['deep_supervision'])
 
@@ -185,8 +215,11 @@ def main(argv=None):
             start_epoch += 1
             print(f"resumed from epoch {start_epoch - 1} (best iou {best_iou:.4f})")
 
-    log = OrderedDict([('epoch', []), ('lr', []), ('loss', []), ('iou', []),
-                       ('val_loss', []), ('val_iou', [])])
+    log_cols = ['epoch', 'lr', 'loss', 'iou', 'val_loss', 'val_iou']
+    if config['log_acc']:
+        # column layout of trainISIC_wAcc.py:331-368
+        log_cols = ['epoch', 'lr', 'loss', 'iou', 'acc', 'val_loss', 'val_iou', 'val_acc']
+    log = OrderedDict((k, []) for k in log_cols)
     log_path = os.path.join(model_dir, 'log.csv')
     if config['resume'] and os.path.exists(log_path):
         prev = pd.read_csv(log_path)
@@ -202,7 +235,8 @@ def main(argv=None):
         t0 = time.time()
 
         # ---- train ----
-        tr_meters = {'loss': AverageMeter(), 'iou': AverageMeter()}
+        tr_meters = {'loss': AverageMeter(), 'iou': AverageMeter(),
+                     'acc': AverageMeter()}
         pending = []
         for idx, valid in epoch_batches(len(train_store), config['batch_size'],
                                         data_rng, shuffle=True, drop_last=True):
@@ -214,9 +248,11 @@ def main(argv=None):
         for metrics, valid in pending:
             tr_meters['loss'].update(float(metrics['loss']), valid)
             tr_meters['iou'].update(float(metrics['iou']), valid)
+            tr_meters['acc'].update(float(metrics['acc']), valid)
 
         # ---- validate ----
-        va_meters = {'loss': AverageMeter(), 'iou': AverageMeter()}
+        va_meters = {'loss': AverageMeter(), 'iou': AverageMeter(),
+                     'acc': AverageMeter()}
         pending = []
         for idx, valid in epoch_batches(len(val_store), config['batch_size'],
                                         data_rng, shuffle=False, drop_last=False):
@@ -228,6 +264,7 @@ def main(argv=None):
         for metrics, valid in pending:
             va_meters['loss'].update(float(metrics['loss']), valid)
             va_meters['iou'].update(float(metrics['iou']), valid)
+            va_meters['acc'].update(float(metrics['acc']), valid)
 
         sched.plateau_step(va_meters['loss'].avg)
 
@@ -243,6 +280,9 @@ def main(argv=None):
         log['iou'].append(tr_meters['iou'].avg)
         log['val_loss'].append(va_meters['loss'].avg)
         log['val_iou'].append(va_meters['iou'].avg)
+        if config['log_acc']:
+            log['acc'].append(tr_meters['acc'].avg)
+            log['val_acc'].append(va_meters['acc'].avg)
         pd.DataFrame(log).to_csv(log_path, index=False)
 
         trigger += 1
