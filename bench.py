@@ -6,6 +6,12 @@ Headline: training throughput (images/sec/chip) of the flagship NestedUNet w/
 deep supervision on the reference protocol shapes (96x96x3, BCEDice, SGD
 momentum/wd), bf16 compute, full train step (augment+fwd+bwd+update) on device.
 
+Measurement method: K train steps run inside ONE jitted lax.scan (single
+dispatch), and the clock stops on a scalar readback of the final loss — this
+measures true device time. Per-step host dispatch through the remote TPU tunnel
+costs ~1.4 ms and `block_until_ready` does not actually block there, so naive
+per-call timing is wrong in both directions.
+
 vs_baseline compares against the torch reference implementation measured on this
 host (BASELINE_MEASURED.json) — the reference repo publishes no throughput
 numbers (BASELINE.md), so that measurement is the baseline the driver tracks.
@@ -28,22 +34,25 @@ def main():
                         help="reference protocol batch (trains.py:38)")
     parser.add_argument("--input_hw", default=96, type=int)
     parser.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
-    parser.add_argument("--steps", default=30, type=int)
-    parser.add_argument("--warmup", default=5, type=int)
+    parser.add_argument("--steps", default=50, type=int,
+                        help="scan length per timed dispatch")
+    parser.add_argument("--repeats", default=3, type=int)
     parser.add_argument("--quick", action="store_true", help="fewer steps")
     parser.add_argument("--sweep", action="store_true",
                         help="also sweep larger batches and report the best")
     args = parser.parse_args()
     if args.quick:
-        args.steps, args.warmup = 8, 2
+        args.steps, args.repeats = 20, 2
 
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     from pytorch_nested_unet_tpu import models
     from pytorch_nested_unet_tpu.training import (
         TrainState, build_optimizer, make_eval_step, make_train_step,
     )
+    from pytorch_nested_unet_tpu.training.loop import make_predict_fn
 
     dev = jax.devices()[0]
     dtype = jnp.bfloat16 if args.precision == "bf16" else None
@@ -51,47 +60,77 @@ def main():
 
     model = models.create_model(args.arch, 1, 3, args.deep_supervision, dtype=dtype)
     tx = build_optimizer("SGD", 1e-3, 0.9, 1e-4)
-
     rng = np.random.default_rng(0)
 
     def measure_train(batch):
+        """images/sec and ms/step from a K-step scan in one dispatch."""
         imgs = jnp.asarray(rng.integers(0, 255, (batch, hw, hw, 3), dtype=np.uint8))
         msks = jnp.asarray((rng.random((batch, hw, hw, 1)) > 0.5).astype(np.uint8) * 255)
         variables = model.init(jax.random.PRNGKey(0),
                                jnp.zeros((batch, hw, hw, 3), jnp.float32), train=True)
         state = TrainState.create(variables, tx)
-        step = make_train_step(model, tx, "BCEDiceLoss", args.deep_supervision)
-        key = jax.random.PRNGKey(1)
-        for i in range(args.warmup):
-            key, sub = jax.random.split(key)
-            state, metrics = step(state, imgs, msks, sub)
-        jax.block_until_ready(metrics["loss"])
-        t0 = time.perf_counter()
-        for i in range(args.steps):
-            key, sub = jax.random.split(key)
-            state, metrics = step(state, imgs, msks, sub)
-        jax.block_until_ready(metrics["loss"])
-        dt = (time.perf_counter() - t0) / args.steps
-        return batch / dt, dt * 1e3
+        step = make_train_step(model, tx, "BCEDiceLoss", args.deep_supervision,
+                               donate=False)
 
-    def measure_infer_p50():
-        imgs = jnp.asarray(rng.integers(0, 255, (1, hw, hw, 3), dtype=np.uint8))
+        @jax.jit
+        def run_k(state, key):
+            def body(carry, _):
+                st, k = carry
+                k, sub = jax.random.split(k)
+                st, metrics = step(st, imgs, msks, sub)
+                return (st, k), metrics["loss"]
+
+            (state, _), losses = lax.scan(body, (state, key), None,
+                                          length=args.steps)
+            return state, losses[-1]
+
+        # warm up (compile) + one real run
+        st, loss = run_k(state, jax.random.PRNGKey(1))
+        _ = float(loss)
+        best = float("inf")
+        for r in range(args.repeats):
+            t0 = time.perf_counter()
+            st, loss = run_k(st, jax.random.PRNGKey(2 + r))
+            _ = float(loss)  # D2H readback is the true completion barrier
+            best = min(best, (time.perf_counter() - t0) / args.steps)
+        return batch / best, best * 1e3
+
+    def measure_infer(batch=1):
+        """p50 end-to-end latency (dispatch + fwd + readback) and pure device
+        throughput via a scanned forward."""
+        imgs = jnp.asarray(rng.integers(0, 255, (batch, hw, hw, 3), dtype=np.uint8))
         variables = model.init(jax.random.PRNGKey(0),
-                               jnp.zeros((1, hw, hw, 3), jnp.float32), train=True)
-        from pytorch_nested_unet_tpu.training.loop import make_predict_fn
-
+                               jnp.zeros((batch, hw, hw, 3), jnp.float32), train=True)
         predict = make_predict_fn(model, args.deep_supervision)
-        for _ in range(args.warmup):
-            out = predict(variables["params"], variables["batch_stats"], imgs)
-        jax.block_until_ready(out)
+        out = predict(variables["params"], variables["batch_stats"], imgs)
+        _ = float(out.sum())
         ts = []
-        for _ in range(max(20, args.steps)):
+        for _ in range(20):
             t0 = time.perf_counter()
             out = predict(variables["params"], variables["batch_stats"], imgs)
-            jax.block_until_ready(out)
+            _ = float(out.sum())
             ts.append(time.perf_counter() - t0)
         ts.sort()
-        return ts[len(ts) // 2] * 1e3
+        p50_e2e = ts[len(ts) // 2] * 1e3
+
+        k = 50
+
+        @jax.jit
+        def fwd_k(params, stats, x):
+            def body(acc, _):
+                out = predict(params, stats, x)
+                return acc + out.sum(), None
+
+            acc, _ = lax.scan(body, jnp.float32(0), None, length=k)
+            return acc
+
+        acc = fwd_k(variables["params"], variables["batch_stats"], imgs)
+        _ = float(acc)
+        t0 = time.perf_counter()
+        acc = fwd_k(variables["params"], variables["batch_stats"], imgs)
+        _ = float(acc)
+        dev_ms = (time.perf_counter() - t0) / k * 1e3
+        return p50_e2e, dev_ms
 
     ips, step_ms = measure_train(args.batch_size)
     detail = {
@@ -102,6 +141,7 @@ def main():
         "batch_size": args.batch_size,
         "input_hw": hw,
         "train_step_ms": round(step_ms, 3),
+        "method": f"lax.scan x{args.steps} per dispatch, scalar readback barrier",
     }
 
     if args.sweep:
@@ -116,7 +156,9 @@ def main():
         detail["best_sweep_images_per_sec"] = round(best[0], 2)
         detail["best_sweep_batch"] = best[1]
 
-    detail["p50_infer_ms_b1"] = round(measure_infer_p50(), 3)
+    p50_e2e, dev_ms = measure_infer(1)
+    detail["p50_infer_ms_b1_e2e"] = round(p50_e2e, 3)
+    detail["infer_ms_b1_device"] = round(dev_ms, 3)
 
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BASELINE_MEASURED.json")

@@ -6,11 +6,20 @@ from jax import lax
 
 
 def max_pool2x2(x):
-    """`nn.MaxPool2d(2)`: kernel 2, stride 2, floor mode (reference archs_backup.py:92)."""
-    return lax.reduce_window(
-        x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
-        lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID",
-    )
+    """`nn.MaxPool2d(2)`: kernel 2, stride 2, floor mode (reference archs_backup.py:92).
+
+    TPU-first formulation: reshape + max over the 2x2 sub-axes. Its VJP is an
+    elementwise equality mask, unlike reduce_window whose VJP lowers to
+    select_and_scatter — one of the slowest ops on TPU and it sits in the
+    backward pass of every encoder level.
+    """
+    h, w = x.shape[-3], x.shape[-2]
+    if h % 2 or w % 2:  # floor mode drops the odd edge row/col
+        x = x[..., : h - h % 2, : w - w % 2, :]
+        h, w = x.shape[-3], x.shape[-2]
+    lead = x.shape[:-3]
+    x = x.reshape(*lead, h // 2, 2, w // 2, 2, x.shape[-1])
+    return jnp.max(x, axis=(-4, -2))
 
 
 def avg_pool2d(x, window, stride=None, padding="VALID"):

@@ -30,31 +30,52 @@ def _axis_positions(in_size: int, out_size: int, align_corners: bool):
     return i0, i1, w
 
 
-def _interp_axis(x, axis: int, i0, i1, w):
-    lo = jnp.take(x, jnp.asarray(i0), axis=axis)
-    hi = jnp.take(x, jnp.asarray(i1), axis=axis)
-    shape = [1] * x.ndim
-    shape[axis] = -1
-    w = jnp.asarray(w, dtype=x.dtype).reshape(shape)
-    return lo + (hi - lo) * w
+def _interp_matrix(in_size: int, out_size: int, align_corners: bool) -> np.ndarray:
+    """Dense (out, in) interpolation matrix for one axis (two taps per row)."""
+    i0, i1, w = _axis_positions(in_size, out_size, align_corners)
+    m = np.zeros((out_size, in_size), np.float32)
+    rows = np.arange(out_size)
+    np.add.at(m, (rows, i0), 1.0 - w)
+    np.add.at(m, (rows, i1), w)
+    return m
+
+
+def _nearest_matrix(in_size: int, out_size: int) -> np.ndarray:
+    idx = np.clip(np.floor(np.arange(out_size) * in_size / out_size), 0,
+                  in_size - 1).astype(np.int64)
+    m = np.zeros((out_size, in_size), np.float32)
+    m[np.arange(out_size), idx] = 1.0
+    return m
+
+
+def _apply_axis_matrix(x, axis: int, m: np.ndarray):
+    """Contract axis `axis` of x with the (out, in) matrix — a plain matmul.
+
+    TPU-first formulation: resizing as two dense contractions runs on the MXU
+    and, crucially, has a *matmul* VJP. The alternative gather formulation
+    back-propagates as scatter-add, which is an order of magnitude slower on
+    TPU in the training step (the decoder has 8+ upsamples in NestedUNet).
+    """
+    mj = jnp.asarray(m, jnp.bfloat16 if x.dtype == jnp.bfloat16 else x.dtype)
+    y = jnp.tensordot(x, mj, axes=[[axis if axis >= 0 else x.ndim + axis], [1]])
+    # tensordot moved the contracted axis to the end; move it back
+    return jnp.moveaxis(y, -1, axis)
 
 
 def resize_bilinear(x, out_hw, align_corners: bool = True):
     """Resize (..., H, W, C) to (..., out_h, out_w, C).
 
     Matches `torch.nn.functional.interpolate(mode='bilinear', align_corners=...)`
-    bit-for-bit in float32 up to summation order.
+    in float32 up to summation order.
     """
     out_h, out_w = int(out_hw[0]), int(out_hw[1])
     h, w_sz = x.shape[-3], x.shape[-2]
     if (h, w_sz) == (out_h, out_w):
         return x
     if h != out_h:
-        i0, i1, w = _axis_positions(h, out_h, align_corners)
-        x = _interp_axis(x, x.ndim - 3, i0, i1, w)
+        x = _apply_axis_matrix(x, x.ndim - 3, _interp_matrix(h, out_h, align_corners))
     if w_sz != out_w:
-        i0, i1, w = _axis_positions(w_sz, out_w, align_corners)
-        x = _interp_axis(x, x.ndim - 2, i0, i1, w)
+        x = _apply_axis_matrix(x, x.ndim - 2, _interp_matrix(w_sz, out_w, align_corners))
     return x
 
 
@@ -64,10 +85,10 @@ def resize_nearest(x, out_hw):
     h, w_sz = x.shape[-3], x.shape[-2]
     if (h, w_sz) == (out_h, out_w):
         return x
-    idx_h = np.floor(np.arange(out_h) * h / out_h).astype(np.int32)
-    idx_w = np.floor(np.arange(out_w) * w_sz / out_w).astype(np.int32)
-    x = jnp.take(x, jnp.asarray(np.clip(idx_h, 0, h - 1)), axis=x.ndim - 3)
-    x = jnp.take(x, jnp.asarray(np.clip(idx_w, 0, w_sz - 1)), axis=x.ndim - 2)
+    if h != out_h:
+        x = _apply_axis_matrix(x, x.ndim - 3, _nearest_matrix(h, out_h))
+    if w_sz != out_w:
+        x = _apply_axis_matrix(x, x.ndim - 2, _nearest_matrix(w_sz, out_w))
     return x
 
 
