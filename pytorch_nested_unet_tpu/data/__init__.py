@@ -3,9 +3,9 @@ and device-resident / host-streaming input pipelines."""
 
 from .datasets import SegmentationFolderDataset, ISICDataset, list_image_ids, split_ids
 from .pipeline import DeviceDataStore, epoch_batches
-from . import augment, preprocess
+from . import augment, native, preprocess
 
 __all__ = [
     "SegmentationFolderDataset", "ISICDataset", "list_image_ids", "split_ids",
-    "DeviceDataStore", "epoch_batches", "augment", "preprocess",
+    "DeviceDataStore", "epoch_batches", "augment", "native", "preprocess",
 ]

@@ -66,8 +66,29 @@ class SegmentationFolderDataset:
             mask.append(m[..., None])
         return img, np.dstack(mask), img_id
 
-    def load_all(self, size_hw: Optional[Tuple[int, int]] = None):
-        """Load + host-resize the whole dataset -> (images, masks, ids) uint8 arrays."""
+    def load_all(self, size_hw: Optional[Tuple[int, int]] = None,
+                 use_native: bool = True):
+        """Load + host-resize the whole dataset -> (images, masks, ids) uint8 arrays.
+
+        With use_native (default), decoding/resizing runs through the C++
+        thread-pool loader (native/fastloader.cpp; GIL-free libpng/libjpeg +
+        cv2-parity resize), falling back to cv2 per-file otherwise.
+        """
+        if size_hw is not None and use_native:
+            from . import native
+
+            if native.native_available():
+                img_paths = [os.path.join(self.img_dir, i + self.img_ext)
+                             for i in self.img_ids]
+                images = native.load_batch(img_paths, size_hw, channels=3)
+                per_class = [
+                    native.load_batch([self._mask_path(i, c) for i in self.img_ids],
+                                      size_hw, channels=1, nearest=True)
+                    for c in range(self.num_classes)
+                ]
+                masks = np.concatenate(per_class, axis=-1)
+                return images, masks, list(self.img_ids)
+
         images, masks = [], []
         for i in range(len(self)):
             img, mask, _ = self.load_raw(i)

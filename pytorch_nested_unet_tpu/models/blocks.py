@@ -5,6 +5,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ..ops.fused_bn import FusedBatchNormReLU
 from ..ops.layers import BatchNorm, TorchConv
 
 
@@ -12,6 +13,9 @@ class VGGBlock(nn.Module):
     """(conv3x3 -> BN -> ReLU) x2 — the universal encoder/decoder block.
 
     Reference: archs_backup.py:24-42 (identical finished/archs1.py:14-33).
+    BN+ReLU run through FusedBatchNormReLU (Pallas single-pass statistics and
+    fused backward on TPU when ops.fused_bn is enabled; identical math on the
+    plain path).
     """
 
     middle_channels: int
@@ -21,11 +25,9 @@ class VGGBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = TorchConv(self.middle_channels, 3, padding=1, dtype=self.dtype, name="conv1")(x)
-        x = BatchNorm(dtype=self.dtype, name="bn1")(x, use_running_average=not train)
-        x = nn.relu(x)
+        x = FusedBatchNormReLU(dtype=self.dtype, name="bn1")(x, use_running_average=not train)
         x = TorchConv(self.out_channels, 3, padding=1, dtype=self.dtype, name="conv2")(x)
-        x = BatchNorm(dtype=self.dtype, name="bn2")(x, use_running_average=not train)
-        x = nn.relu(x)
+        x = FusedBatchNormReLU(dtype=self.dtype, name="bn2")(x, use_running_average=not train)
         return x
 
 
@@ -44,8 +46,10 @@ class UnetConv2(nn.Module):
         for i in (1, 2):
             x = TorchConv(self.out_channels, 3, padding=1, dtype=self.dtype, name=f"conv{i}")(x)
             if self.is_batchnorm:
-                x = BatchNorm(dtype=self.dtype, name=f"bn{i}")(x, use_running_average=not train)
-            x = nn.relu(x)
+                x = FusedBatchNormReLU(dtype=self.dtype, name=f"bn{i}")(
+                    x, use_running_average=not train)
+            else:
+                x = nn.relu(x)
         return x
 
 
@@ -62,5 +66,5 @@ class ConvBNReLU(nn.Module):
     def __call__(self, x, train: bool = False):
         x = TorchConv(self.out_channels, self.kernel_size, stride=self.stride,
                       padding=self.padding, dtype=self.dtype, name="conv")(x)
-        x = BatchNorm(dtype=self.dtype, name="bn")(x, use_running_average=not train)
-        return nn.relu(x)
+        return FusedBatchNormReLU(dtype=self.dtype, name="bn")(
+            x, use_running_average=not train)

@@ -102,6 +102,10 @@ def parse_args(argv=None):
                              "commented-out augs, train_ISIC.py:282-296)")
     parser.add_argument('--log_acc', default=False, type=str2bool,
                         help='log pixel-accuracy columns like trainISIC_wAcc.py:339-368')
+    parser.add_argument('--fused_bn', default=False, type=str2bool,
+                        help='Pallas-fused BN statistics (single-chip TPU only; '
+                             'see ops/fused_bn.py for when this wins)')
+    parser.add_argument('--fused_bn_mode', default='stats', choices=['stats', 'full'])
     parser.add_argument('--spatial_partition', default=False, type=str2bool,
                         help='also shard H/W over the mesh (halo via XLA SPMD)')
 
@@ -182,6 +186,15 @@ def main(argv=None):
         else:
             print(f"warning: batch_size {config['batch_size']} not divisible by "
                   f"{n_dev} devices; running single-device")
+    if config.get('fused_bn') and mesh is None and jax.default_backend() == 'tpu':
+        # optional single-chip Pallas BN (ops/fused_bn.py). Off by default:
+        # measured on v5e at the reference protocol XLA's native BN handling
+        # is faster (16.2 vs 17.2-20.1 ms/step); the kernels remain available
+        # for larger-batch/channel regimes. Under a mesh BN must stay
+        # XLA-visible so GSPMD syncs the moments.
+        from pytorch_nested_unet_tpu.ops.fused_bn import enable_fused_bn
+        enable_fused_bn(True, mode=config.get('fused_bn_mode', 'stats'))
+        print('fused Pallas BN: enabled (single-chip TPU)')
 
     tr_images, tr_masks, _ = train_ds.load_all(size_hw)
     va_images, va_masks, _ = val_ds.load_all(size_hw)
