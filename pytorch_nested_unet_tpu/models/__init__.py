@@ -26,6 +26,7 @@ from .canet import (
     NonLocalBlock2D, ScaleAttenConvBlock, SEConvBlock, UpCat,
 )
 from .nonlocal_attention import MultiHeadAttention2D, multi_head_attention_2d
+from .psp_hybrid import UNetRNNCAttention_PSP, UNetRNNPSP
 from .crdn_backbones import (
     BasicBlock, Bottleneck, ResNet18RNN, ResNet34RNN, ResNet50FCN, ResNet50RNN,
     ResNet50UNet, ResNet101RNN, ResNet152RNN, ResNetFCN, ResNetRNN, ResNetUNet,
@@ -75,6 +76,8 @@ register(AttU_Net)
 register(R2U_Net)
 register(R2AttU_Net)
 register(Comprehensive_Atten_Unet)
+register(UNetRNNCAttention_PSP)
+register(UNetRNNPSP)
 register(VGG16RNN)
 for _f in (ResNet18RNN, ResNet34RNN, ResNet50RNN, ResNet101RNN, ResNet152RNN,
            ResNet50UNet, ResNet50FCN):
@@ -85,7 +88,8 @@ ARCH_NAMES = arch_names()
 __all__ = ["UNet", "NestedUNet", "Comprehensive_Atten_Unet",
            "UNetRNN", "UNetRM3", "UNetRM7",
            "UNetRNNGhost", "UNetRNNPAttention", "UNetRNNCAttention",
-           "UNetRNNAttention", "AttU_Net", "R2U_Net", "R2AttU_Net",
+           "UNetRNNAttention", "UNetRNNCAttention_PSP", "UNetRNNPSP",
+           "AttU_Net", "R2U_Net", "R2AttU_Net",
            "VGG16RNN", "ResNetRNN", "ResNet18RNN", "ResNet34RNN", "ResNet50RNN",
            "ResNet101RNN", "ResNet152RNN", "ResNetUNet", "ResNet50UNet",
            "ResNetFCN", "ResNet50FCN", "BasicBlock", "Bottleneck",

@@ -106,6 +106,10 @@ def parse_args(argv=None):
                         help='Pallas-fused BN statistics (single-chip TPU only; '
                              'see ops/fused_bn.py for when this wins)')
     parser.add_argument('--fused_bn_mode', default='stats', choices=['stats', 'full'])
+    parser.add_argument('--profile', default=None, metavar='DIR',
+                        help='capture a jax.profiler device trace of epoch 0 '
+                             'into DIR (view with tensorboard). The reference '
+                             'has no profiling surface at all (SURVEY.md §5).')
     parser.add_argument('--spatial_partition', default=False, type=str2bool,
                         help='also shard H/W over the mesh (halo via XLA SPMD)')
 
@@ -247,6 +251,10 @@ def main(argv=None):
         state = state.replace(opt_state=set_learning_rate(state.opt_state, lr))
         t0 = time.time()
 
+        profiling = config.get('profile') and epoch == start_epoch
+        if profiling:
+            jax.profiler.start_trace(config['profile'])
+
         # ---- train ----
         tr_meters = {'loss': AverageMeter(), 'iou': AverageMeter(),
                      'acc': AverageMeter()}
@@ -262,6 +270,9 @@ def main(argv=None):
             tr_meters['loss'].update(float(metrics['loss']), valid)
             tr_meters['iou'].update(float(metrics['iou']), valid)
             tr_meters['acc'].update(float(metrics['acc']), valid)
+        if profiling:
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to {config['profile']}")
 
         # ---- validate ----
         va_meters = {'loss': AverageMeter(), 'iou': AverageMeter(),

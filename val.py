@@ -29,6 +29,17 @@ def parse_args(argv=None):
     parser.add_argument('--output_dir', default='models')
     parser.add_argument('--save_dir', default='outputs')
     parser.add_argument('-b', '--batch_size', default=16, type=int)
+    parser.add_argument('--refine', default=False,
+                        type=lambda v: str(v).lower() in ('1', 'true', 't', 'yes'),
+                        help='CascadePSP refinement of each prediction before '
+                             'scoring (the capability stubbed at reference '
+                             'train_ISIC_ca.py:183-189)')
+    parser.add_argument('--refine_weights', default=None,
+                        help='path to CascadePSP weights (.pth state_dict or '
+                             '.npz); random-init refinement if omitted')
+    parser.add_argument('--refine_L', default=900, type=int)
+    parser.add_argument('--refine_fast', default=False,
+                        type=lambda v: str(v).lower() in ('1', 'true', 't', 'yes'))
     return vars(parser.parse_args(argv))
 
 
@@ -49,16 +60,18 @@ def main(argv=None):
 
     size_hw = (config['input_h'], config['input_w'])
     base = os.path.join(args['data_dir'], config['dataset'])
-    img_dir = os.path.join(base, 'images')
-    if config.get('dataset_layout') == 'isic':
-        mask_dir = os.path.join(base, 'mask')
-        ds_cls = ISICDataset
-    else:
-        mask_dir = os.path.join(base, 'masks')
-        ds_cls = SegmentationFolderDataset
+    layout = config.get('dataset_layout', 'generic')
+    ds_cls = ISICDataset if layout == 'isic' else SegmentationFolderDataset
 
-    img_ids = list_image_ids(img_dir, config['img_ext'])
-    _, val_ids = split_ids(img_ids, 0.2, 41)  # split contract (reference val.py:56)
+    from train import _dirs_for
+    if os.path.isdir(os.path.join(base, 'test')):
+        # physical split: evaluate the test/ dir (reference train_ISIC.py:273-280)
+        img_dir, mask_dir = _dirs_for(os.path.join(base, 'test'), layout)
+        val_ids = list_image_ids(img_dir, config['img_ext'])
+    else:
+        img_dir, mask_dir = _dirs_for(base, layout)
+        img_ids = list_image_ids(img_dir, config['img_ext'])
+        _, val_ids = split_ids(img_ids, 0.2, 41)  # split contract (reference val.py:56)
     val_ds = ds_cls(val_ids, img_dir, mask_dir, config['img_ext'],
                     config['mask_ext'], config['num_classes'])
     images, masks, ids = val_ds.load_all(size_hw)
@@ -72,6 +85,15 @@ def main(argv=None):
 
     predict = make_predict_fn(model, config['deep_supervision'])
 
+    refiner = None
+    if args['refine']:
+        from pytorch_nested_unet_tpu.refinement import Refiner
+
+        refiner = Refiner(model_path=args['refine_weights'])
+        if args['refine_weights'] is None:
+            print('warning: --refine without --refine_weights uses a '
+                  'random-initialized refinement net')
+
     for c in range(config['num_classes']):
         os.makedirs(os.path.join(args['save_dir'], args['name'], str(c)), exist_ok=True)
 
@@ -83,6 +105,14 @@ def main(argv=None):
         msks = jnp.asarray(masks[idx])
         probs = predict(params, batch_stats, imgs)
         probs_np = np.asarray(probs)
+        if refiner is not None:
+            # per-image refinement of the class-0 mask (binary protocol), like
+            # the Refiner API contract (reference main.py:59-81)
+            for j in range(valid):
+                refined = refiner.refine(np.asarray(images[idx[j]]),
+                                         (probs_np[j, :, :, 0] * 255).astype('uint8'),
+                                         fast=args['refine_fast'], L=args['refine_L'])
+                probs_np[j, :, :, 0] = refined.astype(np.float32) / 255.0
         # hard IoU at 0.5 (reference metrics.py:6-18) over the valid samples
         pred = probs_np[:valid] > 0.5
         tgt = (np.asarray(msks)[:valid].astype(np.float32) / 255.0) > 0.5
