@@ -106,6 +106,9 @@ def parse_args(argv=None):
                         help='Pallas-fused BN statistics (single-chip TPU only; '
                              'see ops/fused_bn.py for when this wins)')
     parser.add_argument('--fused_bn_mode', default='stats', choices=['stats', 'full'])
+    parser.add_argument('--remat', default=False, type=str2bool,
+                        help='rematerialize blocks in backward (jax.checkpoint) '
+                             'to fit larger per-chip batches')
     parser.add_argument('--profile', default=None, metavar='DIR',
                         help='capture a jax.profiler device trace of epoch 0 '
                              'into DIR (view with tensorboard). The reference '
@@ -173,9 +176,13 @@ def main(argv=None):
     save_config(config, model_dir)
 
     dtype = jnp.bfloat16 if config['precision'] == 'bf16' else None
+    extra = {}
+    arch_cls = models.get_arch(config['arch'])
+    if config.get('remat') and 'remat' in getattr(arch_cls, '__dataclass_fields__', {}):
+        extra['remat'] = True
     model = models.create_model(config['arch'], config['num_classes'],
                                 config['input_channels'],
-                                config['deep_supervision'], dtype=dtype)
+                                config['deep_supervision'], dtype=dtype, **extra)
 
     size_hw = (config['input_h'], config['input_w'])
     train_ds, val_ds = build_datasets(config)
