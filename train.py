@@ -34,6 +34,9 @@ from pytorch_nested_unet_tpu.training import (
     LRSchedule, TrainState, build_optimizer, checkpoint, make_eval_step,
     make_train_step, set_learning_rate,
 )
+from pytorch_nested_unet_tpu.training.loop import (
+    make_epoch_evaluator, make_epoch_runner,
+)
 from pytorch_nested_unet_tpu.training.optim import get_learning_rate
 from pytorch_nested_unet_tpu.utils import AverageMeter, count_params, save_config, str2bool
 
@@ -225,11 +228,21 @@ def main(argv=None):
                        [int(e) for e in str(config['milestones']).split(',')],
                        config['gamma'])
 
-    train_step = make_train_step(model, tx, config['loss'],
-                                 config['deep_supervision'],
-                                 augment=config['augment'] == 'full', mesh=mesh,
-                                 spatial=config['spatial_partition'])
-    eval_step = make_eval_step(model, config['loss'], config['deep_supervision'])
+    # Single-device: run the whole epoch as ONE dispatched lax.scan (the
+    # dataset is device-resident). Under a mesh, keep per-step pjit dispatch.
+    epoch_scan = mesh is None
+    if epoch_scan:
+        run_epoch = make_epoch_runner(model, tx, config['loss'],
+                                      config['deep_supervision'],
+                                      augment=config['augment'] == 'full')
+        eval_epoch = make_epoch_evaluator(model, config['loss'],
+                                          config['deep_supervision'])
+    else:
+        train_step = make_train_step(model, tx, config['loss'],
+                                     config['deep_supervision'],
+                                     augment=config['augment'] == 'full', mesh=mesh,
+                                     spatial=config['spatial_partition'])
+        eval_step = make_eval_step(model, config['loss'], config['deep_supervision'])
 
     start_epoch, best_iou, trigger = 0, 0.0, 0
     if config['resume']:
@@ -265,18 +278,33 @@ def main(argv=None):
         # ---- train ----
         tr_meters = {'loss': AverageMeter(), 'iou': AverageMeter(),
                      'acc': AverageMeter()}
-        pending = []
-        for idx, valid in epoch_batches(len(train_store), config['batch_size'],
-                                        data_rng, shuffle=True, drop_last=True):
+        if epoch_scan:
+            batches = [idx for idx, _ in epoch_batches(
+                len(train_store), config['batch_size'], data_rng,
+                shuffle=True, drop_last=True)]
+            if not batches:
+                sys.exit(f"batch_size {config['batch_size']} exceeds the "
+                         f"{len(train_store)}-image training set (drop_last)")
             key, sub = jax.random.split(key)
-            imgs = jnp.take(train_store.images, jnp.asarray(idx), axis=0)
-            msks = jnp.take(train_store.masks, jnp.asarray(idx), axis=0)
-            state, metrics = train_step(state, imgs, msks, sub)
-            pending.append((metrics, valid))
-        for metrics, valid in pending:
-            tr_meters['loss'].update(float(metrics['loss']), valid)
-            tr_meters['iou'].update(float(metrics['iou']), valid)
-            tr_meters['acc'].update(float(metrics['acc']), valid)
+            state, metrics = run_epoch(state, train_store.images,
+                                       train_store.masks,
+                                       jnp.asarray(np.stack(batches)), sub)
+            metrics = {k: np.asarray(v) for k, v in metrics.items()}
+            for s in range(len(batches)):
+                for k in tr_meters:
+                    tr_meters[k].update(float(metrics[k][s]), config['batch_size'])
+        else:
+            pending = []
+            for idx, valid in epoch_batches(len(train_store), config['batch_size'],
+                                            data_rng, shuffle=True, drop_last=True):
+                key, sub = jax.random.split(key)
+                imgs = jnp.take(train_store.images, jnp.asarray(idx), axis=0)
+                msks = jnp.take(train_store.masks, jnp.asarray(idx), axis=0)
+                state, metrics = train_step(state, imgs, msks, sub)
+                pending.append((metrics, valid))
+            for metrics, valid in pending:
+                for k in tr_meters:
+                    tr_meters[k].update(float(metrics[k]), valid)
         if profiling:
             jax.profiler.stop_trace()
             print(f"profiler trace written to {config['profile']}")
@@ -284,18 +312,32 @@ def main(argv=None):
         # ---- validate ----
         va_meters = {'loss': AverageMeter(), 'iou': AverageMeter(),
                      'acc': AverageMeter()}
-        pending = []
-        for idx, valid in epoch_batches(len(val_store), config['batch_size'],
-                                        data_rng, shuffle=False, drop_last=False):
-            imgs = jnp.take(val_store.images, jnp.asarray(idx), axis=0)
-            msks = jnp.take(val_store.masks, jnp.asarray(idx), axis=0)
-            weights = jnp.asarray((np.arange(len(idx)) < valid).astype(np.float32))
-            metrics = eval_step(state.params, state.batch_stats, imgs, msks, weights)
-            pending.append((metrics, valid))
-        for metrics, valid in pending:
-            va_meters['loss'].update(float(metrics['loss']), valid)
-            va_meters['iou'].update(float(metrics['iou']), valid)
-            va_meters['acc'].update(float(metrics['acc']), valid)
+        if epoch_scan:
+            idx_list, valid_list = zip(*epoch_batches(
+                len(val_store), config['batch_size'], data_rng,
+                shuffle=False, drop_last=False))
+            weights = np.stack([(np.arange(config['batch_size']) < v).astype(np.float32)
+                                for v in valid_list])
+            metrics = eval_epoch(state.params, state.batch_stats,
+                                 val_store.images, val_store.masks,
+                                 jnp.asarray(np.stack(idx_list)),
+                                 jnp.asarray(weights))
+            metrics = {k: np.asarray(v) for k, v in metrics.items()}
+            for s, valid in enumerate(valid_list):
+                for k in va_meters:
+                    va_meters[k].update(float(metrics[k][s]), valid)
+        else:
+            pending = []
+            for idx, valid in epoch_batches(len(val_store), config['batch_size'],
+                                            data_rng, shuffle=False, drop_last=False):
+                imgs = jnp.take(val_store.images, jnp.asarray(idx), axis=0)
+                msks = jnp.take(val_store.masks, jnp.asarray(idx), axis=0)
+                weights = jnp.asarray((np.arange(len(idx)) < valid).astype(np.float32))
+                metrics = eval_step(state.params, state.batch_stats, imgs, msks, weights)
+                pending.append((metrics, valid))
+            for metrics, valid in pending:
+                for k in va_meters:
+                    va_meters[k].update(float(metrics[k]), valid)
 
         sched.plateau_step(va_meters['loss'].avg)
 
