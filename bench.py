@@ -34,7 +34,7 @@ def main():
                         help="reference protocol batch (trains.py:38)")
     parser.add_argument("--input_hw", default=96, type=int)
     parser.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
-    parser.add_argument("--steps", default=50, type=int,
+    parser.add_argument("--steps", default=20, type=int,
                         help="scan length per timed dispatch")
     parser.add_argument("--repeats", default=3, type=int)
     parser.add_argument("--quick", action="store_true", help="fewer steps")
@@ -43,6 +43,14 @@ def main():
     args = parser.parse_args()
     if args.quick:
         args.steps, args.repeats = 20, 2
+
+    import jax
+
+    # persistent compile cache: first compiles through the remote TPU tunnel
+    # cost 60-400s; cached reruns are instant
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import jax
     import jax.numpy as jnp

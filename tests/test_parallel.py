@@ -74,3 +74,53 @@ def test_spatial_partition_compiles(mesh):
     s, m = step(jax.device_put(state, replicated_sharding(mesh2)),
                 jnp.asarray(imgs), jnp.asarray(msks), jax.random.PRNGKey(0))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_spatial_partition_matches_single_device(mesh):
+    """2x4 data x spatial-H sharding must reproduce the single-device step —
+    XLA's halo exchange for the 3x3 stencils is numerically transparent."""
+    mesh2 = make_mesh(axis_sizes=(2, 4), axis_names=("data", "x"))
+    model, tx, state, imgs, msks = _setup(batch=4)
+    key = jax.random.PRNGKey(3)
+
+    step1 = make_train_step(model, tx, "BCEDiceLoss", False, augment=False,
+                            donate=False)
+    s1, m1 = step1(state, jnp.asarray(imgs), jnp.asarray(msks), key)
+
+    stepS = make_train_step(model, tx, "BCEDiceLoss", False, augment=False,
+                            donate=False, mesh=mesh2, spatial=True)
+    sS, mS = stepS(jax.device_put(state, replicated_sharding(mesh2)),
+                   jnp.asarray(imgs), jnp.asarray(msks), key)
+
+    assert float(m1["loss"]) == pytest.approx(float(mS["loss"]), rel=1e-4)
+    # halo-exchange reduction order perturbs BN moments slightly; bounds cover
+    # that FP noise while still catching any real partitioning defect
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(sS.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-3)
+
+
+def test_epoch_scan_matches_per_step_loop():
+    """make_epoch_runner (one scanned dispatch) must reproduce the per-step
+    loop exactly: same final params, same per-step metrics."""
+    from pytorch_nested_unet_tpu.training.loop import make_epoch_runner
+
+    model, tx, state, imgs, msks = _setup(batch=8)
+    idx = np.stack([np.array([0, 1, 2, 3]), np.array([4, 5, 6, 7])])
+    key = jax.random.PRNGKey(11)
+
+    step = make_train_step(model, tx, "BCEDiceLoss", False, augment=False,
+                           donate=False)
+    s_ref = state
+    losses_ref = []
+    k = key
+    for row in idx:
+        k, sub = jax.random.split(k)
+        s_ref, m = step(s_ref, jnp.asarray(imgs[row]), jnp.asarray(msks[row]), sub)
+        losses_ref.append(float(m["loss"]))
+
+    run_epoch = make_epoch_runner(model, tx, "BCEDiceLoss", False, augment=False)
+    s_scan, metrics = run_epoch(state, jnp.asarray(imgs), jnp.asarray(msks),
+                                jnp.asarray(idx), key)
+    np.testing.assert_allclose(np.asarray(metrics["loss"]), losses_ref, rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(s_ref.params), jax.tree.leaves(s_scan.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
