@@ -8,5 +8,9 @@ SyncBN hand-rolled (reference sync_batchnorm/batchnorm.py:90-111).
 """
 
 from .mesh import make_mesh, batch_sharding, replicated_sharding, shard_train_step
+from .multihost import (
+    global_batch_slice, initialize_distributed, make_global_array,
+)
 
-__all__ = ["make_mesh", "batch_sharding", "replicated_sharding", "shard_train_step"]
+__all__ = ["make_mesh", "batch_sharding", "replicated_sharding", "shard_train_step",
+           "initialize_distributed", "global_batch_slice", "make_global_array"]

@@ -189,6 +189,7 @@ def test_registry_covers_reference_exports():
         # archs_backup.py __all__ + finished/archs1.py
         "UNet", "NestedUNet", "UNetRNN", "UNetRNNGhost", "UNetRM3", "UNetRM7",
         "UNetRNNPAttention", "UNetRNNCAttention", "UNetRNNAttention", "R2U_Net",
+        "UNetRNNCAttention_PSP", "UNetRNNPSP",
         # CRDN.py __all__
         "VGG16RNN", "ResNet18RNN", "ResNet34RNN", "ResNet50RNN",
         "ResNet101RNN", "ResNet152RNN", "ResNet50UNet", "ResNet50FCN",

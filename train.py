@@ -13,6 +13,7 @@ best-val-IoU checkpoint (model.msgpack = model.pth analogue); name convention
 
 import argparse
 import os
+import signal
 import sys
 import time
 from collections import OrderedDict
@@ -266,6 +267,22 @@ def main(argv=None):
     data_rng = np.random.default_rng(config['seed'])
     key = jax.random.PRNGKey(config['seed'] + 1)
 
+    # Graceful preemption (TPU pods are preemptible in production): finish the
+    # current epoch, persist the full resume state, exit 0. Re-running with
+    # --resume continues exactly where training stopped. The reference loses
+    # everything past the last best-IoU save (SURVEY.md §5 failure detection).
+    preempted = {'flag': False}
+
+    def _on_signal(signum, frame):
+        print(f'signal {signum}: finishing epoch, checkpointing, exiting')
+        preempted['flag'] = True
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, _on_signal)
+        except ValueError:  # not the main thread (e.g. under a test runner)
+            pass
+
     for epoch in range(start_epoch, config['epochs']):
         lr = sched.epoch_lr(epoch)
         state = state.replace(opt_state=set_learning_rate(state.opt_state, lr))
@@ -368,6 +385,9 @@ def main(argv=None):
 
         if 0 <= config['early_stopping'] <= trigger:
             print("=> early stopping")
+            break
+        if preempted['flag']:
+            print(f"=> preempted at epoch {epoch}; resume with --resume true")
             break
 
     print(f"best val iou: {best_iou:.4f}")
