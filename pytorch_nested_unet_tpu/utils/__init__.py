@@ -3,6 +3,7 @@
 from .config import str2bool, save_config, load_config
 from .meters import AverageMeter
 from .plotting import plot_data, read_log
+from .torch_convert import convert_reference_state_dict, export_reference_state_dict
 
 import jax
 import numpy as np
@@ -14,4 +15,5 @@ def count_params(params) -> int:
 
 
 __all__ = ["str2bool", "save_config", "load_config", "AverageMeter",
-           "count_params", "plot_data", "read_log"]
+           "count_params", "plot_data", "read_log",
+           "convert_reference_state_dict", "export_reference_state_dict"]
