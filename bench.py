@@ -38,11 +38,13 @@ def main():
                         help="scan length per timed dispatch")
     parser.add_argument("--repeats", default=3, type=int)
     parser.add_argument("--quick", action="store_true", help="fewer steps")
-    parser.add_argument("--sweep", action="store_true",
-                        help="also sweep larger batches and report the best")
+    parser.add_argument("--sweep", dest="sweep", action="store_true", default=True,
+                        help="also sweep larger batches and report the best (default)")
+    parser.add_argument("--no_sweep", dest="sweep", action="store_false")
     args = parser.parse_args()
     if args.quick:
         args.steps, args.repeats = 20, 2
+        args.sweep = False
 
     import jax
 
