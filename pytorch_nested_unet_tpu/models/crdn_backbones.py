@@ -26,17 +26,10 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ops.layers import BatchNorm, TorchConv, TorchConvTranspose
-from ..ops.pool import max_pool2x2
+from ..ops.pool import max_pool2x2, max_pool_3x3_s2_p1
 from ..ops.resize import resize_bilinear, resize_nearest
 from .blocks import ConvBNReLU, UnetConv2
 from .rdc import RDC, rdc_decode
-
-
-def max_pool_3x3_s2_p1(x):
-    """`nn.MaxPool2d(3, stride=2, padding=1)` — the ResNet stem pool."""
-    neg = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
-    return lax.reduce_window(x, neg, lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
-                             ((0, 0), (1, 1), (1, 1), (0, 0)))
 
 
 class BasicBlock(nn.Module):

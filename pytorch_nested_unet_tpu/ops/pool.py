@@ -22,6 +22,13 @@ def max_pool2x2(x):
     return jnp.max(x, axis=(-4, -2))
 
 
+def max_pool_3x3_s2_p1(x):
+    """`nn.MaxPool2d(3, stride=2, padding=1)` — the ResNet stem pool."""
+    neg = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    return lax.reduce_window(x, neg, lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+                             ((0, 0), (1, 1), (1, 1), (0, 0)))
+
+
 def avg_pool2d(x, window, stride=None, padding="VALID"):
     """Average pool with count_include_pad=True torch semantics for VALID windows."""
     stride = stride or window

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from ..ops.layers import BatchNorm, TorchConv
 from ..ops.pool import adaptive_avg_pool
 from ..ops.resize import resize_bilinear
-from ..models.crdn_backbones import max_pool_3x3_s2_p1
+from ..ops.pool import max_pool_3x3_s2_p1
 
 
 class DilatedBottleneck(nn.Module):
