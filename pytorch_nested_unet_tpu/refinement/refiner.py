@@ -187,16 +187,18 @@ class Refiner:
             self.variables = self.model.init(jax.random.PRNGKey(0), x, s)
 
         def apply_fn(im, seg, inter_s8=None, inter_s4=None):
-            # jit specializes on the None-ness via two wrappers
+            # jit specializes on the None-ness via two wrappers; variables are
+            # passed as arguments (NOT closed over — closing over 67M params
+            # would bake ~270MB of constants into the compiled program)
             if inter_s8 is None:
-                return self._apply_first(im, seg)
-            return self._apply_tile(im, seg, inter_s8, inter_s4)
+                return self._apply_first(self.variables, im, seg)
+            return self._apply_tile(self.variables, im, seg, inter_s8, inter_s4)
 
         self._apply_first = jax.jit(
-            lambda im, seg: self.model.apply(self.variables, im, seg, train=False))
+            lambda v, im, seg: self.model.apply(v, im, seg, train=False))
         self._apply_tile = jax.jit(
-            lambda im, seg, s8, s4: self.model.apply(self.variables, im, seg, s8,
-                                                     s4, train=False))
+            lambda v, im, seg, s8, s4: self.model.apply(v, im, seg, s8, s4,
+                                                        train=False))
         self.apply_fn = apply_fn
 
     def refine(self, image: np.ndarray, mask: np.ndarray, fast: bool = False,

@@ -104,7 +104,7 @@ def main(argv=None):
         imgs = jnp.asarray(images[idx])
         msks = jnp.asarray(masks[idx])
         probs = predict(params, batch_stats, imgs)
-        probs_np = np.asarray(probs)
+        probs_np = np.array(probs)  # writable copy (refinement edits in place)
         if refiner is not None:
             # per-image refinement of the class-0 mask (binary protocol), like
             # the Refiner API contract (reference main.py:59-81)
