@@ -98,3 +98,45 @@ def test_canet_binary_returns_trainable_logits():
     leaves = jax.tree.leaves(grads)
     assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
     assert any(np.abs(np.asarray(g)).max() > 0 for g in leaves)
+
+
+def test_graceful_preemption(tmp_path, monkeypatch):
+    """SIGTERM mid-training: finish the epoch, checkpoint, exit 0; --resume
+    continues from the next epoch (the reference has no recovery story,
+    SURVEY.md §5)."""
+    import signal
+    import subprocess
+    import time as _time
+
+    _make_isic_tree(str(tmp_path / "inputs"), n_train=6, n_test=4)
+    args = [
+        sys.executable, os.path.join(_repo, "train_isic.py"),
+        "--epochs", "200", "--batch_size", "4", "--input_w", "32", "--input_h", "32",
+        "--data_dir", str(tmp_path / "inputs"), "--output_dir", str(tmp_path / "models"),
+        "--precision", "fp32", "--arch", "UNet", "--name", "preempt",
+    ]
+    proc = subprocess.Popen(args, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                            text=True, cwd=str(tmp_path))
+    # wait for the first epoch lines, then preempt
+    deadline = _time.time() + 300
+    lines = []
+    for line in proc.stdout:
+        lines.append(line)
+        if line.startswith("epoch [1/"):
+            proc.send_signal(signal.SIGTERM)
+            break
+        assert _time.time() < deadline, "".join(lines)
+    out, _ = proc.communicate(timeout=240)
+    lines.append(out)
+    text = "".join(lines)
+    assert proc.returncode == 0, text
+    assert "preempted at epoch" in text, text
+    run_dir = tmp_path / "models" / "preempt"
+    assert (run_dir / "last.msgpack").exists()
+
+    # resume picks up from the interrupted point
+    res = subprocess.run(args + ["--resume", "true", "--epochs", "4"],
+                         capture_output=True, text=True, cwd=str(tmp_path),
+                         timeout=480)
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert "resumed from epoch" in res.stdout, res.stdout
