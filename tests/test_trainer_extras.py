@@ -111,14 +111,14 @@ def test_graceful_preemption(tmp_path, monkeypatch):
     _make_isic_tree(str(tmp_path / "inputs"), n_train=6, n_test=4)
     args = [
         sys.executable, os.path.join(_repo, "train_isic.py"),
-        "--epochs", "200", "--batch_size", "4", "--input_w", "32", "--input_h", "32",
+        "--epochs", "200", "--batch_size", "4", "--input_w", "16", "--input_h", "16",
         "--data_dir", str(tmp_path / "inputs"), "--output_dir", str(tmp_path / "models"),
         "--precision", "fp32", "--arch", "UNet", "--name", "preempt",
     ]
     proc = subprocess.Popen(args, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                             text=True, cwd=str(tmp_path))
     # wait for the first epoch lines, then preempt
-    deadline = _time.time() + 300
+    deadline = _time.time() + 600
     lines = []
     for line in proc.stdout:
         lines.append(line)
