@@ -73,3 +73,49 @@ def load_training_state(model_dir: str, state):
                           batch_stats=restored["batch_stats"],
                           opt_state=opt_state)
     return state, int(restored["epoch"]), float(restored["best_iou"]), int(restored["trigger"])
+
+
+# ---- Orbax backend (SURVEY.md §5: "Orbax checkpoints (params + opt_state +
+# epoch) plus the same config.yml capsule"). The msgpack format above stays the
+# default (single-file, torch-model.pth-like); Orbax adds async-capable,
+# sharding-aware checkpointing for multi-host runs where each process writes
+# its own shards. ----
+
+def save_training_state_orbax(model_dir: str, state, epoch: int, best_iou: float,
+                              trigger: int, name: str = "orbax_last"):
+    """Sharding-aware full-state checkpoint via orbax.checkpoint."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(model_dir, name))
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": serialization.to_state_dict(state.opt_state),
+            "meta": {"epoch": epoch, "best_iou": float(best_iou),
+                     "trigger": int(trigger)},
+        }, force=True)
+
+
+def load_training_state_orbax(model_dir: str, state, name: str = "orbax_last"):
+    """Restore a save_training_state_orbax checkpoint into a fresh TrainState;
+    returns (state, epoch, best_iou, trigger) or None."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(model_dir, name))
+    if not os.path.isdir(path):
+        return None
+    template = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": serialization.to_state_dict(state.opt_state),
+        "meta": {"epoch": 0, "best_iou": 0.0, "trigger": 0},
+    }
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(path, template)
+    opt_state = serialization.from_state_dict(state.opt_state, restored["opt_state"])
+    state = state.replace(params=restored["params"],
+                          batch_stats=restored["batch_stats"],
+                          opt_state=opt_state)
+    meta = restored["meta"]
+    return state, int(meta["epoch"]), float(meta["best_iou"]), int(meta["trigger"])

@@ -65,3 +65,25 @@ def test_torch_default_init_statistics():
     bias = np.asarray(torch_bias_init(64)(key, (64,)))
     bb = 1.0 / math.sqrt(64)
     assert bias.min() >= -bb and bias.max() <= bb
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    from pytorch_nested_unet_tpu import models
+    from pytorch_nested_unet_tpu.training import TrainState, build_optimizer, checkpoint
+
+    m = models.create_model("UNet", num_classes=1)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)), train=True)
+    tx = build_optimizer("SGD", 1e-3, 0.9, 1e-4)
+    state = TrainState.create(v, tx)
+    checkpoint.save_training_state_orbax(str(tmp_path), state, 7, 0.83, 2)
+
+    v2 = m.init(jax.random.PRNGKey(1), jnp.zeros((1, 16, 16, 3)), train=True)
+    restored = checkpoint.load_training_state_orbax(str(tmp_path),
+                                                    TrainState.create(v2, tx))
+    assert restored is not None
+    s, epoch, best, trig = restored
+    assert (epoch, trig) == (7, 2) and best == pytest.approx(0.83)
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(s.params)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    assert checkpoint.load_training_state_orbax(str(tmp_path / "nope"),
+                                                TrainState.create(v2, tx)) is None
