@@ -26,6 +26,11 @@ from .canet import (
     NonLocalBlock2D, ScaleAttenConvBlock, SEConvBlock, UpCat,
 )
 from .nonlocal_attention import MultiHeadAttention2D, multi_head_attention_2d
+from .double_unet import DoubleUnet, UnetBlock
+from .dual_deeplab import (
+    ASPP, DeepLab, DualBottleneck, DualResNet, FCNHead, SAGate,
+    duplicate_dualpath_params, resnet101,
+)
 from .psp_hybrid import UNetRNNCAttention_PSP, UNetRNNPSP
 from .crdn_backbones import (
     BasicBlock, Bottleneck, ResNet18RNN, ResNet34RNN, ResNet50FCN, ResNet50RNN,
@@ -72,6 +77,8 @@ register(UNetRNNGhost)
 register(UNetRNNPAttention)
 register(UNetRNNCAttention)
 register(UNetRNNAttention)
+register(DoubleUnet)
+register(DeepLab)
 register(AttU_Net)
 register(R2U_Net)
 register(R2AttU_Net)
@@ -89,7 +96,9 @@ __all__ = ["UNet", "NestedUNet", "Comprehensive_Atten_Unet",
            "UNetRNN", "UNetRM3", "UNetRM7",
            "UNetRNNGhost", "UNetRNNPAttention", "UNetRNNCAttention",
            "UNetRNNAttention", "UNetRNNCAttention_PSP", "UNetRNNPSP",
-           "AttU_Net", "R2U_Net", "R2AttU_Net",
+           "AttU_Net", "R2U_Net", "R2AttU_Net", "DoubleUnet", "UnetBlock",
+           "DeepLab", "DualResNet", "DualBottleneck", "SAGate", "ASPP",
+           "FCNHead", "resnet101", "duplicate_dualpath_params",
            "VGG16RNN", "ResNetRNN", "ResNet18RNN", "ResNet34RNN", "ResNet50RNN",
            "ResNet101RNN", "ResNet152RNN", "ResNetUNet", "ResNet50UNet",
            "ResNetFCN", "ResNet50FCN", "BasicBlock", "Bottleneck",
