@@ -154,6 +154,37 @@ def main():
         "method": f"lax.scan x{args.steps} per dispatch, scalar readback barrier",
     }
 
+    # Roofline: XLA's own cost model for one train step vs what we measured.
+    # v5e: 197 TFLOP/s bf16 MXU peak, 819 GB/s HBM. The workload (96x96,
+    # filters 32-512) is HBM-bound, so % of the bandwidth roofline is the
+    # honest utilization number.
+    try:
+        batch = args.batch_size
+        imgs = jnp.asarray(rng.integers(0, 255, (batch, hw, hw, 3), dtype=np.uint8))
+        msks = jnp.asarray((rng.random((batch, hw, hw, 1)) > 0.5).astype(np.uint8) * 255)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((batch, hw, hw, 3), jnp.float32), train=True)
+        state = TrainState.create(variables, tx)
+        step = make_train_step(model, tx, "BCEDiceLoss", args.deep_supervision,
+                               donate=False)
+        ca = step.lower(state, imgs, msks, jax.random.PRNGKey(0)).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        hbm_bytes = float(ca.get("bytes accessed", 0.0))
+        if flops and hbm_bytes and step_ms:
+            detail["roofline"] = {
+                "xla_flops_per_step": round(flops / 1e9, 2),  # GFLOP
+                "xla_hbm_gb_per_step": round(hbm_bytes / 1e9, 3),
+                "achieved_tflops": round(flops / (step_ms * 1e-3) / 1e12, 2),
+                "achieved_hbm_gbps": round(hbm_bytes / (step_ms * 1e-3) / 1e9, 1),
+                "bound": "hbm" if hbm_bytes / 819e9 > flops / 197e12 else "compute",
+                "pct_of_hbm_roofline": round(
+                    100 * (hbm_bytes / 819e9) / (step_ms * 1e-3), 1),
+            }
+    except Exception:
+        pass  # cost model availability varies by backend; roofline is optional
+
     if args.sweep:
         best = (ips, args.batch_size)
         for b in (64, 128, 256):
