@@ -34,7 +34,9 @@ Documented divergences:
     parameterized (`bn_eps`, defaults matching the reference's norm defaults).
   - The reference's criterion-inside-the-model (archs.py:1738-1746) is not
     rebuilt — losses live in `losses.py` like the rest of this framework;
-    `DeepLab.__call__` returns `(pred, aux)` in training and `pred` in eval,
+    `DeepLab.__call__` returns `[aux, pred]` in training (last element = main
+    head, so the trainer averages both losses and reads metrics off `pred`,
+    matching loss + loss_aux at archs.py:1742-1746) and `pred` in eval,
     mirroring the label=None dispatch.
   - `hha=None` feeds the RGB input to both paths so the model satisfies the
     single-input trainer contract; pass a real HHA tensor for RGB-D.
@@ -334,8 +336,11 @@ class DeepLab(nn.Module):
     (reference archs.py:1716-1758).
 
     `__call__(x, hha=None)`: hha defaults to the RGB input (single-input
-    trainer contract); training returns (pred, aux) both at input resolution
-    (align_corners=True upsampling, archs.py:1740-1741), eval returns pred.
+    trainer contract); training returns [aux, pred] both at input resolution
+    (align_corners=True upsampling, archs.py:1740-1741) — last element is the
+    main prediction, so the trainer's multi-head loss averages (pred, aux)
+    exactly like the reference's loss + loss_aux (archs.py:1742-1746) while
+    metrics read the main head. Eval returns pred alone.
     """
 
     num_classes: int = 1
@@ -358,7 +363,7 @@ class DeepLab(nn.Module):
         pred = resize_bilinear(pred, (h, w), align_corners=True)
         if train or self.deep_supervision:
             aux = resize_bilinear(aux, (h, w), align_corners=True)
-            return [aux, pred] if self.deep_supervision else (pred, aux)
+            return [aux, pred]
         return pred
 
 

@@ -23,8 +23,22 @@ import optax
 
 
 def build_optimizer(optimizer: str = "SGD", lr: float = 1e-3, momentum: float = 0.9,
-                    weight_decay: float = 1e-4, nesterov: bool = False):
-    """Returns an optax transform whose opt_state exposes hyperparams['learning_rate']."""
+                    weight_decay: float = 1e-4, nesterov: bool = False,
+                    skip_nonfinite: int = 0, accum_steps: int = 1):
+    """Returns an optax transform whose opt_state exposes hyperparams['learning_rate'].
+
+    skip_nonfinite > 0 adds on-device failure detection (optax.apply_if_finite):
+    a step whose gradients contain NaN/inf is *skipped* — params, momentum and
+    Adam moments stay untouched — and up to `skip_nonfinite` consecutive bad
+    steps are tolerated before the non-finite update is allowed through (which
+    the trainer's per-epoch finite-loss check then catches and aborts on).
+    The reference has no failure handling at all (SURVEY.md §5): a NaN loss
+    silently poisons the weights and the run continues.
+
+    accum_steps > 1 accumulates gradients over K micro-batches
+    (optax.MultiSteps): the parameter update applies every K-th step, giving a
+    K-times-larger effective batch at constant per-step memory.
+    """
 
     if optimizer == "Adam":
         def make(learning_rate):
@@ -48,18 +62,59 @@ def build_optimizer(optimizer: str = "SGD", lr: float = 1e-3, momentum: float = 
     else:
         raise ValueError(f"unknown optimizer {optimizer!r} (Adam|SGD)")
 
-    return optax.inject_hyperparams(make)(learning_rate=lr)
+    tx = optax.inject_hyperparams(make)(learning_rate=lr)
+    if skip_nonfinite:
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=int(skip_nonfinite))
+    if accum_steps and accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=int(accum_steps)
+                              ).gradient_transformation()
+    return tx
+
+
+def _hyperparams_holder(opt_state):
+    """Walk wrapper states (ApplyIfFiniteState.inner_state,
+    MultiStepsState.inner_opt_state) down to the InjectHyperparamsState.
+    Returns (path, holder) where path is the attribute chain from the root."""
+    path, st = [], opt_state
+    while not hasattr(st, "hyperparams"):
+        for attr in ("inner_state", "inner_opt_state"):
+            if hasattr(st, attr):
+                path.append(attr)
+                st = getattr(st, attr)
+                break
+        else:
+            raise ValueError("optimizer state exposes no injected hyperparams")
+    return path, st
 
 
 def set_learning_rate(opt_state, lr: float):
-    """Functionally update the injected learning rate."""
-    hp = dict(opt_state.hyperparams)
+    """Functionally update the injected learning rate (through any
+    apply_if_finite / MultiSteps wrapper states)."""
+    path, holder = _hyperparams_holder(opt_state)
+    hp = dict(holder.hyperparams)
     hp["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
-    return opt_state._replace(hyperparams=hp)
+    new = holder._replace(hyperparams=hp)
+    for i in range(len(path) - 1, -1, -1):
+        outer = opt_state
+        for attr in path[:i]:
+            outer = getattr(outer, attr)
+        new = outer._replace(**{path[i]: new})
+    return new
 
 
 def get_learning_rate(opt_state) -> float:
-    return float(opt_state.hyperparams["learning_rate"])
+    return float(_hyperparams_holder(opt_state)[1].hyperparams["learning_rate"])
+
+
+def nonfinite_count(opt_state):
+    """Total non-finite (skipped) update count if failure detection is on
+    (build_optimizer(skip_nonfinite>0)), else None."""
+    st = opt_state
+    while st is not None:
+        if hasattr(st, "total_notfinite"):
+            return int(st.total_notfinite)
+        st = getattr(st, "inner_opt_state", getattr(st, "inner_state", None))
+    return None
 
 
 class LRSchedule:

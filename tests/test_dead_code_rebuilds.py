@@ -121,11 +121,12 @@ class TestDualDeepLab:
         pred = m.apply(v, x, train=False)
         assert pred.shape == (1, 64, 64, 3)
 
-    def test_train_returns_pred_and_aux(self, small):
+    def test_train_returns_aux_and_pred(self, small):
         # mirrors reference label-dispatch (archs.py:1742-1746): training
-        # yields (pred, aux), both full-res
+        # yields [aux, pred] full-res — last element is the main head, so the
+        # trainer's heads[-1] metrics read pred, not aux
         m, x, v = small
-        (pred, aux), _ = m.apply(v, x, train=True, mutable=["batch_stats"],
+        (aux, pred), _ = m.apply(v, x, train=True, mutable=["batch_stats"],
                                  rngs={"dropout": jax.random.PRNGKey(1)})
         assert pred.shape == aux.shape == (1, 64, 64, 3)
 

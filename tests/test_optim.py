@@ -91,3 +91,60 @@ def test_plateau_reduces():
     for l in losses:
         s.plateau_step(l)
     assert s.epoch_lr(5) == pytest.approx(1e-4)
+
+
+# ---- failure detection + gradient accumulation wrappers (SURVEY.md §5: the
+# reference has no failure handling; these are the on-device guards) ----
+
+def test_skip_nonfinite_skips_bad_step_and_counts():
+    from pytorch_nested_unet_tpu.training.optim import nonfinite_count
+
+    tx = build_optimizer("SGD", 0.1, momentum=0.9, weight_decay=0.0,
+                         skip_nonfinite=2)
+    params = {"w": jnp.ones(4)}
+    st = tx.init(params)
+    assert nonfinite_count(st) == 0
+
+    bad = {"w": jnp.full(4, jnp.nan)}
+    upd, st = tx.update(bad, st, params)
+    params = optax.apply_updates(params, upd)
+    np.testing.assert_allclose(np.asarray(params["w"]), 1.0)  # update skipped
+    assert nonfinite_count(st) == 1
+
+    good = {"w": jnp.ones(4)}
+    upd, st = tx.update(good, st, params)
+    params = optax.apply_updates(params, upd)
+    # momentum trace restarts from the preserved (finite) state: step = lr*g
+    np.testing.assert_allclose(np.asarray(params["w"]), 0.9, rtol=1e-6)
+    assert nonfinite_count(st) == 1
+
+
+def test_accum_steps_applies_mean_every_k():
+    tx = build_optimizer("SGD", 0.1, momentum=0.0, weight_decay=0.0,
+                         accum_steps=2)
+    params = {"w": jnp.zeros(3)}
+    st = tx.init(params)
+    upd, st = tx.update({"w": jnp.ones(3)}, st, params)
+    params = optax.apply_updates(params, upd)
+    np.testing.assert_allclose(np.asarray(params["w"]), 0.0)  # mini-step only
+    upd, st = tx.update({"w": 3.0 * jnp.ones(3)}, st, params)
+    params = optax.apply_updates(params, upd)
+    # applied update = lr * mean(1, 3) = 0.1 * 2
+    np.testing.assert_allclose(np.asarray(params["w"]), -0.2, rtol=1e-6)
+
+
+def test_learning_rate_roundtrip_through_wrappers():
+    tx = build_optimizer("Adam", 1e-3, weight_decay=1e-4,
+                         skip_nonfinite=3, accum_steps=2)
+    st = tx.init({"w": jnp.ones(2)})
+    assert get_learning_rate(st) == pytest.approx(1e-3)
+    st = set_learning_rate(st, 5e-4)
+    assert get_learning_rate(st) == pytest.approx(5e-4)
+
+
+def test_nonfinite_count_none_without_guard():
+    from pytorch_nested_unet_tpu.training.optim import nonfinite_count
+
+    tx = build_optimizer("SGD", 1e-3, 0.9, 1e-4)
+    st = tx.init({"w": jnp.zeros(2)})
+    assert nonfinite_count(st) is None

@@ -38,7 +38,7 @@ from pytorch_nested_unet_tpu.training import (
 from pytorch_nested_unet_tpu.training.loop import (
     make_epoch_evaluator, make_epoch_runner,
 )
-from pytorch_nested_unet_tpu.training.optim import get_learning_rate
+from pytorch_nested_unet_tpu.training.optim import get_learning_rate, nonfinite_count
 from pytorch_nested_unet_tpu.utils import AverageMeter, count_params, save_config, str2bool
 
 ARCH_NAMES = models.arch_names()
@@ -119,6 +119,17 @@ def parse_args(argv=None):
                              'has no profiling surface at all (SURVEY.md §5).')
     parser.add_argument('--spatial_partition', default=False, type=str2bool,
                         help='also shard H/W over the mesh (halo via XLA SPMD)')
+    parser.add_argument('--skip_nonfinite', default=0, type=int, metavar='N',
+                        help='failure detection: skip parameter updates whose '
+                             'gradients contain NaN/inf, tolerating up to N '
+                             'consecutive bad steps (optax.apply_if_finite); '
+                             'a non-finite epoch loss still aborts the run. '
+                             '0 disables (reference behavior: NaN poisons the '
+                             'weights silently)')
+    parser.add_argument('--accum_steps', default=1, type=int, metavar='K',
+                        help='accumulate gradients over K micro-batches before '
+                             'each update (K-times effective batch at constant '
+                             'memory)')
 
     return vars(parser.parse_args(argv))
 
@@ -221,7 +232,9 @@ def main(argv=None):
     print(f"arch {config['arch']}: {count_params(variables['params']):,} params")
 
     tx = build_optimizer(config['optimizer'], config['lr'], config['momentum'],
-                         config['weight_decay'], config['nesterov'])
+                         config['weight_decay'], config['nesterov'],
+                         skip_nonfinite=config.get('skip_nonfinite', 0),
+                         accum_steps=config.get('accum_steps', 1))
     state = TrainState.create(variables, tx)
 
     sched = LRSchedule(config['scheduler'], config['lr'], config['epochs'],
@@ -325,6 +338,23 @@ def main(argv=None):
         if profiling:
             jax.profiler.stop_trace()
             print(f"profiler trace written to {config['profile']}")
+
+        # Failure detection (SURVEY.md §5: the reference has none — a NaN loss
+        # silently poisons the weights and training continues). With
+        # --skip_nonfinite, bad-gradient steps were already skipped on device;
+        # a non-finite *epoch* loss means the guard was exhausted (or off), so
+        # abort before overwriting any good checkpoint.
+        if not np.isfinite(tr_meters['loss'].avg):
+            skipped = nonfinite_count(state.opt_state)
+            detail = f" after {skipped} skipped update(s)" if skipped else ""
+            sys.exit(f"non-finite training loss at epoch {epoch}{detail}; "
+                     f"aborting without saving (resume from the last good "
+                     f"checkpoint with --resume true)")
+        if config.get('skip_nonfinite'):
+            skipped = nonfinite_count(state.opt_state)
+            if skipped:
+                print(f"failure detection: {skipped} non-finite update(s) "
+                      f"skipped so far")
 
         # ---- validate ----
         va_meters = {'loss': AverageMeter(), 'iou': AverageMeter(),
