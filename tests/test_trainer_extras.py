@@ -109,11 +109,15 @@ def test_graceful_preemption(tmp_path, monkeypatch):
     import time as _time
 
     _make_isic_tree(str(tmp_path / "inputs"), n_train=6, n_test=4)
+    # --platform cpu: subprocesses can't inherit conftest's in-process CPU
+    # pinning, and the remote-TPU tunnel sporadically stalls compiles for
+    # minutes, which is flakiness this test isn't about
     args = [
         sys.executable, os.path.join(_repo, "train_isic.py"),
         "--epochs", "200", "--batch_size", "4", "--input_w", "16", "--input_h", "16",
         "--data_dir", str(tmp_path / "inputs"), "--output_dir", str(tmp_path / "models"),
         "--precision", "fp32", "--arch", "UNet", "--name", "preempt",
+        "--platform", "cpu",
     ]
     proc = subprocess.Popen(args, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                             text=True, cwd=str(tmp_path))

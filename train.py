@@ -130,6 +130,10 @@ def parse_args(argv=None):
                         help='accumulate gradients over K micro-batches before '
                              'each update (K-times effective batch at constant '
                              'memory)')
+    parser.add_argument('--platform', default='default',
+                        help="jax platform to run on ('cpu' forces host CPU — "
+                             "hermetic tests/debugging; 'default' keeps jax's "
+                             "pick, i.e. the TPU when one is attached)")
 
     return vars(parser.parse_args(argv))
 
@@ -175,8 +179,27 @@ def build_datasets(config):
     return mk(train_ids, img_dir, mask_dir), mk(val_ids, img_dir, mask_dir)
 
 
+def _configure_backend(platform: str = 'default'):
+    """Select the jax platform and enable the persistent compile cache.
+
+    Must run before the first jax backend use. The cache turns the 60-400 s
+    first-compile cost of a fresh CLI process (e.g. a --resume restart after
+    preemption) into a near-instant reload for identical model/shape configs.
+    """
+    jax.config.update('jax_compilation_cache_dir',
+                      os.environ.get('JAX_CACHE_DIR',
+                                     os.path.expanduser('~/.jax_cache')))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    if platform and platform != 'default':
+        try:
+            jax.config.update('jax_platforms', platform)
+        except RuntimeError as e:  # backend already initialized (in-process reuse)
+            print(f'warning: --platform {platform} ignored ({e})')
+
+
 def main(argv=None):
     config = parse_args(argv)
+    _configure_backend(config.get('platform', 'default'))
 
     if config['name'] is None:
         tag = 'wDS' if config['deep_supervision'] else 'woDS'

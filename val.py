@@ -40,11 +40,16 @@ def parse_args(argv=None):
     parser.add_argument('--refine_L', default=900, type=int)
     parser.add_argument('--refine_fast', default=False,
                         type=lambda v: str(v).lower() in ('1', 'true', 't', 'yes'))
+    parser.add_argument('--platform', default='default',
+                        help="jax platform ('cpu' forces host CPU; 'default' "
+                             "keeps jax's pick)")
     return vars(parser.parse_args(argv))
 
 
 def main(argv=None):
     args = parse_args(argv)
+    from train import _configure_backend
+    _configure_backend(args.get('platform', 'default'))
     model_dir = os.path.join(args['output_dir'], args['name'])
     config = load_config(model_dir)
 
