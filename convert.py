@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""Checkpoint migration CLI between the torch reference and this framework.
+
+Import (default): bring a reference-trained `model.pth` (saved by reference
+trains.py:344-349, optionally through nn.DataParallel) into a
+`models/<name>/{config.yml, model.msgpack}` capsule that `val.py --name <name>`
+and `train.py --resume`-free fine-tuning can use directly:
+
+    python convert.py --pth model.pth --arch NestedUNet --deep_supervision true \
+        --dataset dsb2018_96 --name imported_run
+
+Export (--export): write this framework's best checkpoint back out as a torch
+state_dict `.pth` loadable by the reference's archs definitions:
+
+    python convert.py --export --name imported_run --out model_export.pth
+
+Covers the UNet/NestedUNet flagship family (any model whose torch counterpart
+uses named attributes — utils/torch_convert.py); the CascadePSP refinement
+network has its own converter (refinement.convert_torch_state_dict).
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument('--pth', default=None, help='torch state_dict to import')
+    p.add_argument('--export', action='store_true',
+                   help='reverse direction: models/<name> -> torch .pth')
+    p.add_argument('--out', default=None,
+                   help='export target path (default <name>_export.pth)')
+    p.add_argument('--name', default=None,
+                   help='capsule name under --output_dir (default '
+                        '<dataset>_<arch>_{w,wo}DS)')
+    p.add_argument('--arch', default='NestedUNet')
+    p.add_argument('--deep_supervision', default=False,
+                   type=lambda v: str(v).lower() in ('1', 'true', 't', 'yes'))
+    p.add_argument('--num_classes', default=1, type=int)
+    p.add_argument('--input_channels', default=3, type=int)
+    p.add_argument('--input_w', default=96, type=int)
+    p.add_argument('--input_h', default=96, type=int)
+    p.add_argument('--dataset', default='dsb2018_96')
+    p.add_argument('--img_ext', default='.png')
+    p.add_argument('--mask_ext', default='.png')
+    p.add_argument('--dataset_layout', default='generic',
+                   choices=['generic', 'isic'])
+    p.add_argument('--precision', default='fp32', choices=['bf16', 'fp32'])
+    p.add_argument('--output_dir', default='models')
+    return vars(p.parse_args(argv))
+
+
+def _tree_paths(tree, prefix=()):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _tree_paths(v, prefix + (k,))
+    else:
+        yield "/".join(prefix), np.shape(tree)
+
+
+def _validate_against_model(variables, config):
+    """Init the target model and check the converted tree matches its
+    structure + shapes exactly, so a wrong --arch/--deep_supervision fails
+    loudly here instead of at predict time."""
+    import jax
+    import jax.numpy as jnp
+
+    from pytorch_nested_unet_tpu import models
+
+    model = models.create_model(config['arch'], config['num_classes'],
+                                config['input_channels'],
+                                config['deep_supervision'])
+    sample = jnp.zeros((1, config['input_h'], config['input_w'],
+                        config['input_channels']), jnp.float32)
+    ref = model.init(jax.random.PRNGKey(0), sample, train=True)
+    want = dict(_tree_paths({k: ref[k] for k in ('params', 'batch_stats')}))
+    got = dict(_tree_paths({k: variables[k] for k in ('params', 'batch_stats')}))
+    missing = sorted(set(want) - set(got))
+    extra = sorted(set(got) - set(want))
+    wrong = sorted(k for k in set(want) & set(got) if want[k] != got[k])
+    if missing or extra or wrong:
+        msg = [f"converted checkpoint does not match {config['arch']} "
+               f"(num_classes={config['num_classes']}, "
+               f"input_channels={config['input_channels']}, "
+               f"deep_supervision={config['deep_supervision']}):"]
+        if missing:
+            msg.append(f"  missing ({len(missing)}): {missing[:5]} ...")
+        if extra:
+            msg.append(f"  unexpected ({len(extra)}): {extra[:5]} ...")
+        for k in wrong[:5]:
+            msg.append(f"  shape mismatch {k}: checkpoint {got[k]} vs model {want[k]}")
+        sys.exit("\n".join(msg))
+    return ref
+
+
+def _load_state_dict(path):
+    import torch
+
+    obj = torch.load(path, map_location='cpu', weights_only=True)
+    if isinstance(obj, dict) and 'state_dict' in obj and all(
+            not hasattr(v, 'shape') for k, v in obj.items() if k != 'state_dict'):
+        obj = obj['state_dict']
+    # nn.DataParallel prefix strip (same as reference segmentation_refinement/
+    # main.py:35-40 does for its weights)
+    return {(k[len('module.'):] if k.startswith('module.') else k): v
+            for k, v in obj.items()}
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from pytorch_nested_unet_tpu.training import checkpoint
+    from pytorch_nested_unet_tpu.utils import save_config
+    from pytorch_nested_unet_tpu.utils.config import load_config
+    from pytorch_nested_unet_tpu.utils.torch_convert import (
+        convert_reference_state_dict, export_reference_state_dict,
+    )
+
+    if args['export']:
+        if not args['name']:
+            sys.exit('--export requires --name')
+        import jax
+        import jax.numpy as jnp
+        import torch
+
+        from pytorch_nested_unet_tpu import models
+
+        model_dir = os.path.join(args['output_dir'], args['name'])
+        config = load_config(model_dir)
+        model = models.create_model(config['arch'], config['num_classes'],
+                                    config['input_channels'],
+                                    config['deep_supervision'])
+        sample = jnp.zeros((1, config['input_h'], config['input_w'],
+                            config['input_channels']), jnp.float32)
+        template = model.init(jax.random.PRNGKey(0), sample, train=True)
+        variables = checkpoint.load_model(
+            model_dir, {k: template[k] for k in ('params', 'batch_stats')})
+        sd = export_reference_state_dict(variables)
+        out = args['out'] or f"{args['name']}_export.pth"
+        torch.save({k: torch.from_numpy(np.array(v, copy=True))
+                    for k, v in sd.items()}, out)
+        print(f"exported {len(sd)} tensors -> {out}")
+        return out
+
+    if not args['pth']:
+        sys.exit('--pth PATH required (or --export)')
+    sd = _load_state_dict(args['pth'])
+    variables = convert_reference_state_dict(sd)
+
+    config = {k: args[k] for k in
+              ('arch', 'deep_supervision', 'num_classes', 'input_channels',
+               'input_w', 'input_h', 'dataset', 'img_ext', 'mask_ext',
+               'dataset_layout', 'precision')}
+    _validate_against_model(variables, config)
+
+    if not args['name']:
+        tag = 'wDS' if config['deep_supervision'] else 'woDS'
+        args['name'] = f"{config['dataset']}_{config['arch']}_{tag}"
+    config['name'] = args['name']
+    config['loss'] = 'BCEDiceLoss'
+    model_dir = os.path.join(args['output_dir'], args['name'])
+    os.makedirs(model_dir, exist_ok=True)
+    save_config(config, model_dir)
+    checkpoint.save_model(model_dir, variables['params'], variables['batch_stats'])
+    n = sum(int(np.prod(shape)) for _, shape in _tree_paths(variables['params']))
+    print(f"imported {args['pth']} -> {model_dir}/model.msgpack "
+          f"({n:,} params); validate with: python val.py --name {args['name']}")
+    return model_dir
+
+
+if __name__ == '__main__':
+    main()
