@@ -26,6 +26,12 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # 8 virtual CPU devices for mesh tests (jax>=0.4.34 replaces the
 # --xla_force_host_platform_device_count XLA flag with this config option).
 jax.config.update("jax_num_cpu_devices", 8)
+# Persistent compile cache: the suite's model compiles dominate its ~45 min
+# wall time on this 1-core box; identical test shapes recur across runs.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR",
+                                 os.path.expanduser("~/.jax_cache")))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 @pytest.fixture
