@@ -100,8 +100,10 @@ def _load_state_dict(path):
     import torch
 
     obj = torch.load(path, map_location='cpu', weights_only=True)
-    if isinstance(obj, dict) and 'state_dict' in obj and all(
-            not hasattr(v, 'shape') for k, v in obj.items() if k != 'state_dict'):
+    # unwrap {'state_dict': sd, ...metadata} checkpoints: the inner dict of
+    # tensors is the state_dict regardless of what sits beside it
+    if isinstance(obj, dict) and isinstance(obj.get('state_dict'), dict) and all(
+            hasattr(v, 'shape') for v in obj['state_dict'].values()):
         obj = obj['state_dict']
     # nn.DataParallel prefix strip (same as reference segmentation_refinement/
     # main.py:35-40 does for its weights)
@@ -113,7 +115,6 @@ def main(argv=None):
     args = parse_args(argv)
     from pytorch_nested_unet_tpu.training import checkpoint
     from pytorch_nested_unet_tpu.utils import save_config
-    from pytorch_nested_unet_tpu.utils.config import load_config
     from pytorch_nested_unet_tpu.utils.torch_convert import (
         convert_reference_state_dict, export_reference_state_dict,
     )
@@ -121,22 +122,10 @@ def main(argv=None):
     if args['export']:
         if not args['name']:
             sys.exit('--export requires --name')
-        import jax
-        import jax.numpy as jnp
         import torch
 
-        from pytorch_nested_unet_tpu import models
-
         model_dir = os.path.join(args['output_dir'], args['name'])
-        config = load_config(model_dir)
-        model = models.create_model(config['arch'], config['num_classes'],
-                                    config['input_channels'],
-                                    config['deep_supervision'])
-        sample = jnp.zeros((1, config['input_h'], config['input_w'],
-                            config['input_channels']), jnp.float32)
-        template = model.init(jax.random.PRNGKey(0), sample, train=True)
-        variables = checkpoint.load_model(
-            model_dir, {k: template[k] for k in ('params', 'batch_stats')})
+        _, variables, _ = checkpoint.load_capsule(model_dir)
         sd = export_reference_state_dict(variables)
         out = args['out'] or f"{args['name']}_export.pth"
         torch.save({k: torch.from_numpy(np.array(v, copy=True))

@@ -36,6 +36,31 @@ def load_model(model_dir: str, template: Dict[str, Any]):
         return serialization.from_bytes(template, f.read())
 
 
+def load_capsule(model_dir: str, dtype=None):
+    """Rebuild a trained model from its `models/<name>/` capsule: read
+    config.yml, construct the arch, restore model.msgpack into an init
+    template. Returns (model, variables, config) — the one loading path shared
+    by val.py / infer.py / convert.py (reference val.py:34-59 semantics)."""
+    import jax.numpy as jnp
+
+    from .. import models
+    from ..utils.config import load_config
+
+    config = load_config(model_dir)
+    if dtype is None and config.get("precision") == "bf16":
+        dtype = jnp.bfloat16
+    model = models.create_model(config["arch"], config["num_classes"],
+                                config["input_channels"],
+                                config["deep_supervision"], dtype=dtype)
+    sample = jnp.zeros((1, config["input_h"], config["input_w"],
+                        config["input_channels"]), jnp.float32)
+    template = model.init(jax.random.PRNGKey(0), sample, train=True)
+    variables = load_model(model_dir, {
+        "params": template["params"],
+        "batch_stats": template.get("batch_stats", {})})
+    return model, variables, config
+
+
 def save_training_state(model_dir: str, state, epoch: int, best_iou: float,
                         trigger: int):
     blob = serialization.to_bytes({

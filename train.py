@@ -40,6 +40,7 @@ from pytorch_nested_unet_tpu.training.loop import (
 )
 from pytorch_nested_unet_tpu.training.optim import get_learning_rate, nonfinite_count
 from pytorch_nested_unet_tpu.utils import AverageMeter, count_params, save_config, str2bool
+from pytorch_nested_unet_tpu.utils.backend import configure_backend
 
 ARCH_NAMES = models.arch_names()
 
@@ -179,27 +180,9 @@ def build_datasets(config):
     return mk(train_ids, img_dir, mask_dir), mk(val_ids, img_dir, mask_dir)
 
 
-def _configure_backend(platform: str = 'default'):
-    """Select the jax platform and enable the persistent compile cache.
-
-    Must run before the first jax backend use. The cache turns the 60-400 s
-    first-compile cost of a fresh CLI process (e.g. a --resume restart after
-    preemption) into a near-instant reload for identical model/shape configs.
-    """
-    jax.config.update('jax_compilation_cache_dir',
-                      os.environ.get('JAX_CACHE_DIR',
-                                     os.path.expanduser('~/.jax_cache')))
-    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
-    if platform and platform != 'default':
-        try:
-            jax.config.update('jax_platforms', platform)
-        except RuntimeError as e:  # backend already initialized (in-process reuse)
-            print(f'warning: --platform {platform} ignored ({e})')
-
-
 def main(argv=None):
     config = parse_args(argv)
-    _configure_backend(config.get('platform', 'default'))
+    configure_backend(config.get('platform', 'default'))
 
     if config['name'] is None:
         tag = 'wDS' if config['deep_supervision'] else 'woDS'
@@ -283,7 +266,16 @@ def main(argv=None):
 
     start_epoch, best_iou, trigger = 0, 0.0, 0
     if config['resume']:
-        restored = checkpoint.load_training_state(model_dir, state)
+        try:
+            restored = checkpoint.load_training_state(model_dir, state)
+        except (KeyError, ValueError) as e:
+            # flax restores into the current state's structure; a different
+            # optimizer stack changes it (e.g. resuming with --skip_nonfinite
+            # or --accum_steps when the run was started without them)
+            sys.exit(f"--resume: {model_dir}/last.msgpack does not match the "
+                     f"current optimizer state layout — "
+                     f"--optimizer/--skip_nonfinite/--accum_steps must match "
+                     f"the original run ({e})")
         if restored:
             state, start_epoch, best_iou, trigger = restored
             start_epoch += 1
@@ -329,6 +321,21 @@ def main(argv=None):
             jax.profiler.start_trace(config['profile'])
 
         # ---- train ----
+        # With --skip_nonfinite, a bad step's update was already skipped on
+        # device, but its recorded loss/iou are still NaN — exclude those steps
+        # from the meters so one recovered divergence doesn't poison the epoch
+        # averages (and the abort check below).
+        guard = bool(config.get('skip_nonfinite'))
+        bad_steps = 0
+
+        def _update(meters, step_metrics, weight):
+            nonlocal bad_steps
+            if guard and not np.isfinite(step_metrics['loss']):
+                bad_steps += 1
+                return
+            for k in meters:
+                meters[k].update(float(step_metrics[k]), weight)
+
         tr_meters = {'loss': AverageMeter(), 'iou': AverageMeter(),
                      'acc': AverageMeter()}
         if epoch_scan:
@@ -344,8 +351,8 @@ def main(argv=None):
                                        jnp.asarray(np.stack(batches)), sub)
             metrics = {k: np.asarray(v) for k, v in metrics.items()}
             for s in range(len(batches)):
-                for k in tr_meters:
-                    tr_meters[k].update(float(metrics[k][s]), config['batch_size'])
+                _update(tr_meters, {k: metrics[k][s] for k in tr_meters},
+                        config['batch_size'])
         else:
             pending = []
             for idx, valid in epoch_batches(len(train_store), config['batch_size'],
@@ -356,28 +363,29 @@ def main(argv=None):
                 state, metrics = train_step(state, imgs, msks, sub)
                 pending.append((metrics, valid))
             for metrics, valid in pending:
-                for k in tr_meters:
-                    tr_meters[k].update(float(metrics[k]), valid)
+                _update(tr_meters, {k: float(metrics[k]) for k in tr_meters},
+                        valid)
         if profiling:
             jax.profiler.stop_trace()
             print(f"profiler trace written to {config['profile']}")
 
         # Failure detection (SURVEY.md §5: the reference has none — a NaN loss
-        # silently poisons the weights and training continues). With
-        # --skip_nonfinite, bad-gradient steps were already skipped on device;
-        # a non-finite *epoch* loss means the guard was exhausted (or off), so
-        # abort before overwriting any good checkpoint.
-        if not np.isfinite(tr_meters['loss'].avg):
+        # silently poisons the weights and training continues). Abort before
+        # overwriting any good checkpoint when the epoch produced no finite
+        # loss at all (guard off: any non-finite average; guard on: every step
+        # was non-finite, i.e. the tolerance was exhausted and params are
+        # poisoned).
+        if tr_meters['loss'].count == 0 or not np.isfinite(tr_meters['loss'].avg):
             skipped = nonfinite_count(state.opt_state)
             detail = f" after {skipped} skipped update(s)" if skipped else ""
             sys.exit(f"non-finite training loss at epoch {epoch}{detail}; "
                      f"aborting without saving (resume from the last good "
                      f"checkpoint with --resume true)")
-        if config.get('skip_nonfinite'):
-            skipped = nonfinite_count(state.opt_state)
-            if skipped:
-                print(f"failure detection: {skipped} non-finite update(s) "
-                      f"skipped so far")
+        if bad_steps:
+            print(f"failure detection: {bad_steps} step(s) with non-finite "
+                  f"loss this epoch (updates skipped on device, excluded from "
+                  f"metrics); {nonfinite_count(state.opt_state)} update(s) "
+                  f"skipped since start")
 
         # ---- validate ----
         va_meters = {'loss': AverageMeter(), 'iou': AverageMeter(),

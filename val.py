@@ -9,16 +9,14 @@ import os
 import cv2
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
-from pytorch_nested_unet_tpu import models
 from pytorch_nested_unet_tpu.data import (
     ISICDataset, SegmentationFolderDataset, epoch_batches, list_image_ids, split_ids,
 )
 from pytorch_nested_unet_tpu.training import checkpoint
 from pytorch_nested_unet_tpu.training.loop import make_predict_fn
-from pytorch_nested_unet_tpu.utils import AverageMeter, load_config
+from pytorch_nested_unet_tpu.utils import AverageMeter
 
 
 def parse_args(argv=None):
@@ -48,20 +46,15 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
-    from train import _configure_backend
-    _configure_backend(args.get('platform', 'default'))
+    from pytorch_nested_unet_tpu.utils.backend import configure_backend
+    configure_backend(args.get('platform', 'default'))
     model_dir = os.path.join(args['output_dir'], args['name'])
-    config = load_config(model_dir)
+    model, variables, config = checkpoint.load_capsule(model_dir)
 
     print('-' * 20)
     for k in sorted(config):
         print(f'{k}: {config[k]}')
     print('-' * 20)
-
-    dtype = jnp.bfloat16 if config.get('precision') == 'bf16' else None
-    model = models.create_model(config['arch'], config['num_classes'],
-                                config['input_channels'],
-                                config['deep_supervision'], dtype=dtype)
 
     size_hw = (config['input_h'], config['input_w'])
     base = os.path.join(args['data_dir'], config['dataset'])
@@ -81,13 +74,7 @@ def main(argv=None):
                     config['mask_ext'], config['num_classes'])
     images, masks, ids = val_ds.load_all(size_hw)
 
-    sample = jnp.zeros((1, *size_hw, config['input_channels']), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), sample, train=True)
-    restored = checkpoint.load_model(model_dir, {
-        'params': variables['params'],
-        'batch_stats': variables.get('batch_stats', {})})
-    params, batch_stats = restored['params'], restored['batch_stats']
-
+    params, batch_stats = variables['params'], variables['batch_stats']
     predict = make_predict_fn(model, config['deep_supervision'])
 
     refiner = None
