@@ -73,10 +73,22 @@ def process_im_single_pass(apply_fn, im, seg, L: int = 900):
     return pred
 
 
-def process_high_res_im(apply_fn, im, seg, L: int = 900):
+def process_high_res_im(apply_fn, im, seg, L: int = 900, mesh=None,
+                        tile_batch: Optional[int] = None):
     """Global step then stride-L/2 sliding-window local step with 16-px overlap
     trim, trivial-tile skipping, overlap averaging, and where-fallback to the
-    global prediction (reference eval_helper.py:47-168)."""
+    global prediction (reference eval_helper.py:47-168).
+
+    Tile execution modes (all numerically identical — tiles are independent
+    and accumulation is an order-free sum):
+      - default: one device step per tile (compiles once; reference semantics)
+      - tile_batch=k: tiles stacked k at a time along the batch axis — k MXU
+        steps per dispatch instead of 1
+      - mesh=Mesh(..., 'data'): tile batches sharded over the mesh's 'data'
+        axis (tile_batch defaults to the device count) — the sliding-window
+        pass fans out across chips, the CNN-inference analogue of sequence
+        parallelism for inputs too large for one chip's step budget
+    """
     stride = L // 2
     h, w = seg.shape[-3], seg.shape[-2]
 
@@ -111,6 +123,9 @@ def process_high_res_im(apply_fn, im, seg, L: int = 900):
     step_size = stride - padding * 2
     step_len = L
 
+    # Phase 1: select non-trivial tiles (host-side, data-dependent —
+    # reference eval_helper.py:124-127). All selected tiles share one shape.
+    tiles = []
     used_start_idx = {}
     for x_idx in range(w2 // step_size + 1):
         for y_idx in range(h2 // step_size + 1):
@@ -132,36 +147,68 @@ def process_high_res_im(apply_fn, im, seg, L: int = 900):
                 continue
             used_start_idx[start_idx] = True
 
-            im_part = im_small[:, start_y:end_y, start_x:end_x, :]
             seg_224_part = r_pred_224[:, start_y:end_y, start_x:end_x, :]
-            seg_56_part = r_pred_56[:, start_y:end_y, start_x:end_x, :]
-
             seg_part_norm = (seg_224_part > 0).astype(np.float32)
             if seg_part_norm.mean() > 0.9 or seg_part_norm.mean() < 0.1:
                 continue
+            tiles.append((start_x, start_y, end_x, end_y))
+
+    # Phase 2: run the refinement net over the tiles and overlap-accumulate.
+    def accumulate(tile, grid_pred_224):
+        start_x, start_y, end_x, end_y = tile
+        pred_sx = pred_sy = 0
+        pred_ex = pred_ey = step_len
+        if start_x != 0:
+            start_x += padding
+            pred_sx += padding
+        if start_y != 0:
+            start_y += padding
+            pred_sy += padding
+        if end_x != w2:
+            end_x -= padding
+            pred_ex -= padding
+        if end_y != h2:
+            end_y -= padding
+            pred_ey -= padding
+        combined_224[:, start_y:end_y, start_x:end_x, :] += \
+            grid_pred_224[:, pred_sy:pred_ey, pred_sx:pred_ex, :]
+        combined_weight[:, start_y:end_y, start_x:end_x, :] += 1
+
+    def parts_of(tile):
+        start_x, start_y, end_x, end_y = tile
+        return (im_small[:, start_y:end_y, start_x:end_x, :],
+                r_pred_224[:, start_y:end_y, start_x:end_x, :],
+                r_pred_56[:, start_y:end_y, start_x:end_x, :])
+
+    if mesh is None and tile_batch is None:
+        for tile in tiles:  # one device step per tile (reference semantics)
+            im_part, seg224, seg56 = parts_of(tile)
             grid_images = safe_forward(apply_fn, jnp.asarray(im_part),
-                                       jnp.asarray(seg_224_part),
-                                       jnp.asarray(seg_56_part))
-            grid_pred_224 = np.asarray(grid_images["pred_224"])
-
-            pred_sx = pred_sy = 0
-            pred_ex = pred_ey = step_len
-            if start_x != 0:
-                start_x += padding
-                pred_sx += padding
-            if start_y != 0:
-                start_y += padding
-                pred_sy += padding
-            if end_x != w2:
-                end_x -= padding
-                pred_ex -= padding
-            if end_y != h2:
-                end_y -= padding
-                pred_ey -= padding
-
-            combined_224[:, start_y:end_y, start_x:end_x, :] += \
-                grid_pred_224[:, pred_sy:pred_ey, pred_sx:pred_ex, :]
-            combined_weight[:, start_y:end_y, start_x:end_x, :] += 1
+                                       jnp.asarray(seg224), jnp.asarray(seg56))
+            accumulate(tile, np.asarray(grid_images["pred_224"]))
+    elif tiles:
+        n_dev = int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
+        group = tile_batch or n_dev
+        if mesh is not None:
+            group = max(group, n_dev)
+            group += (-group) % n_dev  # divisible by the mesh size
+        sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            sharding = NamedSharding(mesh, PartitionSpec("data", None, None, None))
+        for s in range(0, len(tiles), group):
+            chunk = tiles[s:s + group]
+            pad = group - len(chunk)  # last chunk padded: one compiled shape
+            columns = list(zip(*(parts_of(t) for t in chunk)))  # im, seg224, seg56
+            batches = []
+            for col in columns:
+                a = np.concatenate(list(col) + [col[-1]] * pad, axis=0)
+                batches.append(jnp.asarray(a) if sharding is None
+                               else jax.device_put(jnp.asarray(a), sharding))
+            grid_images = safe_forward(apply_fn, *batches)
+            preds = np.asarray(grid_images["pred_224"])
+            for j, tile in enumerate(chunk):
+                accumulate(tile, preds[j:j + 1])
 
     seg_norm = r_pred_224 / 2 + 0.5
     with np.errstate(invalid="ignore", divide="ignore"):

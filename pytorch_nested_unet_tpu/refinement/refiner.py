@@ -166,11 +166,17 @@ class Refiner:
     """CascadePSP refinement front-end (reference main.py:13-81)."""
 
     def __init__(self, model_path: Optional[str] = None, variables=None,
-                 dtype=None):
+                 dtype=None, mesh=None, tile_batch: Optional[int] = None):
         """Load weights from `model_path` (a torch .pth state_dict — the
         released CascadePSP 'model' file — or an .npz of the same keys), or
-        take prebuilt flax `variables`, or random-init when neither is given."""
+        take prebuilt flax `variables`, or random-init when neither is given.
+
+        mesh/tile_batch configure the full (non-fast) pipeline's local pass:
+        tiles batched `tile_batch` at a time, and with a mesh, sharded over
+        its 'data' axis (see driver.process_high_res_im)."""
         self.model = RefinementModule(dtype=dtype)
+        self.mesh = mesh
+        self.tile_batch = tile_batch
         if variables is not None:
             self.variables = variables
         elif model_path is not None and os.path.exists(model_path):
@@ -215,5 +221,6 @@ class Refiner:
         if fast:
             out = process_im_single_pass(self.apply_fn, im, sg, L)
         else:
-            out = process_high_res_im(self.apply_fn, im, sg, L)
+            out = process_high_res_im(self.apply_fn, im, sg, L,
+                                      mesh=self.mesh, tile_batch=self.tile_batch)
         return (np.asarray(out)[0, ..., 0] * 255).astype(np.uint8)

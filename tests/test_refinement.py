@@ -151,3 +151,28 @@ def test_sobel_matches_torch(rng):
         gy = F.conv2d(sm, ky, padding=1)
         expect = torch.sqrt(gx ** 2 + gy ** 2 + 1e-4).reshape(1, 2, 9, 9)
     np.testing.assert_allclose(got, expect.numpy().transpose(0, 2, 3, 1), atol=2e-5)
+
+
+def test_tiled_local_pass_batched_and_mesh_parallel_match_sequential():
+    """The sliding-window local pass gives identical results whether tiles run
+    one per device step (reference semantics), batched along the batch axis,
+    or sharded over an 8-device 'data' mesh (driver.process_high_res_im)."""
+    from pytorch_nested_unet_tpu.parallel import make_mesh
+    from pytorch_nested_unet_tpu.refinement.driver import process_high_res_im
+
+    refiner = Refiner()  # random init: equality across modes is the contract
+    rng = np.random.default_rng(5)
+    h, w, L = 112, 112, 96  # -> 4 deduplicated 96x96 tiles, mixed fg/bg
+    im = jnp.asarray(rng.normal(size=(1, h, w, 3)), jnp.float32)
+    yy, xx = np.mgrid[0:h, 0:w]
+    seg = ((yy + xx) < (h + w) / 2).astype(np.float32) * 2 - 1  # diagonal split
+    sg = jnp.asarray(seg[None, ..., None])
+
+    seq = np.asarray(process_high_res_im(refiner.apply_fn, im, sg, L))
+    batched = np.asarray(process_high_res_im(refiner.apply_fn, im, sg, L,
+                                             tile_batch=3))
+    mesh = make_mesh(axis_sizes=(8,), axis_names=("data",))
+    sharded = np.asarray(process_high_res_im(refiner.apply_fn, im, sg, L,
+                                             mesh=mesh))
+    np.testing.assert_allclose(batched, seq, atol=1e-5)
+    np.testing.assert_allclose(sharded, seq, atol=1e-5)
