@@ -54,6 +54,9 @@ def parse_args(argv=None):
     p.add_argument('--refine_weights', default=None)
     p.add_argument('--refine_L', default=900, type=int)
     p.add_argument('--refine_fast', default=True, type=str2bool)
+    p.add_argument('--refine_tile_batch', default=None, type=int,
+                   help='batch k sliding-window tiles per device dispatch in '
+                        'the full refinement pipeline')
     p.add_argument('--platform', default='default')
     return vars(p.parse_args(argv))
 
@@ -82,7 +85,8 @@ def main(argv=None):
     refiner = None
     if args['refine']:
         from pytorch_nested_unet_tpu.refinement import Refiner
-        refiner = Refiner(model_path=args['refine_weights'])
+        refiner = Refiner(model_path=args['refine_weights'],
+                          tile_batch=args.get('refine_tile_batch'))
 
     for c in range(config['num_classes']):
         os.makedirs(os.path.join(args['save_dir'], args['name'], str(c)),

@@ -38,6 +38,9 @@ def parse_args(argv=None):
     parser.add_argument('--refine_L', default=900, type=int)
     parser.add_argument('--refine_fast', default=False,
                         type=lambda v: str(v).lower() in ('1', 'true', 't', 'yes'))
+    parser.add_argument('--refine_tile_batch', default=None, type=int,
+                        help='batch k sliding-window tiles per device dispatch '
+                             'in the full refinement pipeline')
     parser.add_argument('--platform', default='default',
                         help="jax platform ('cpu' forces host CPU; 'default' "
                              "keeps jax's pick)")
@@ -81,7 +84,8 @@ def main(argv=None):
     if args['refine']:
         from pytorch_nested_unet_tpu.refinement import Refiner
 
-        refiner = Refiner(model_path=args['refine_weights'])
+        refiner = Refiner(model_path=args['refine_weights'],
+                          tile_batch=args.get('refine_tile_batch'))
         if args['refine_weights'] is None:
             print('warning: --refine without --refine_weights uses a '
                   'random-initialized refinement net')
