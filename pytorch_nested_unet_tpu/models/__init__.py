@@ -68,6 +68,24 @@ def create_model(name: str, num_classes: int = 1, input_channels: int = 3,
                deep_supervision=deep_supervision, **kwargs)
 
 
+def parse_arch_kwargs(name: str, raw):
+    """Validate per-arch constructor options given as a JSON object string (or
+    an already-parsed dict) — the train.py --arch_kwargs / config.yml
+    'arch_kwargs' format. JSON arrays become tuples (flax dataclass fields
+    must be hashable). Raises ValueError naming unknown fields."""
+    if not raw:
+        return {}
+    import json
+
+    kw = json.loads(raw) if isinstance(raw, str) else dict(raw)
+    fields = getattr(get_arch(name), "__dataclass_fields__", {})
+    unknown = sorted(set(kw) - set(fields))
+    if unknown:
+        raise ValueError(f"{name} has no field(s) {unknown}; "
+                         f"available: {sorted(fields)}")
+    return {k: tuple(v) if isinstance(v, list) else v for k, v in kw.items()}
+
+
 register(UNet)
 register(NestedUNet)
 register(UNetRNN)

@@ -49,9 +49,10 @@ def load_capsule(model_dir: str, dtype=None):
     config = load_config(model_dir)
     if dtype is None and config.get("precision") == "bf16":
         dtype = jnp.bfloat16
+    extra = models.parse_arch_kwargs(config["arch"], config.get("arch_kwargs"))
     model = models.create_model(config["arch"], config["num_classes"],
                                 config["input_channels"],
-                                config["deep_supervision"], dtype=dtype)
+                                config["deep_supervision"], dtype=dtype, **extra)
     sample = jnp.zeros((1, config["input_h"], config["input_w"],
                         config["input_channels"]), jnp.float32)
     template = model.init(jax.random.PRNGKey(0), sample, train=True)

@@ -79,3 +79,26 @@ def test_train_early_stopping(synth_root):
                                       "--lr=0.0"]))  # lr 0: no improvement after ep 0
     log = (synth_root / "models" / "early_run" / "log.csv").read_text().strip().splitlines()
     assert len(log) < 7  # stopped early
+
+
+def test_arch_kwargs_roundtrip(synth_root):
+    """--arch_kwargs reaches the constructor AND is honored when val.py
+    rebuilds the model from the capsule (a vanilla-RNN decoder has a different
+    param tree than the GRU default, so restore would fail if ignored)."""
+    import pytest
+
+    import train as train_cli
+    import val as val_cli
+
+    best = train_cli.main(_args(synth_root, [
+        "--arch=UNetRNN", "--name=kw_run",
+        '--arch_kwargs={"decoder": "vanilla"}']))
+    iou = val_cli.main(["--name=kw_run",
+                        f"--data_dir={synth_root / 'inputs'}",
+                        f"--output_dir={synth_root / 'models'}",
+                        f"--save_dir={synth_root / 'outputs'}"])
+    assert iou == pytest.approx(best, abs=1e-4)
+
+    with pytest.raises(SystemExit, match="no field"):
+        train_cli.main(_args(synth_root, ["--arch=UNet", "--name=kw_bad",
+                                          '--arch_kwargs={"nope": 1}']))

@@ -135,6 +135,12 @@ def parse_args(argv=None):
                         help="jax platform to run on ('cpu' forces host CPU — "
                              "hermetic tests/debugging; 'default' keeps jax's "
                              "pick, i.e. the TPU when one is attached)")
+    parser.add_argument('--arch_kwargs', default=None, metavar='JSON',
+                        help='extra keyword arguments for the model '
+                             'constructor as a JSON object, e.g. '
+                             '\'{"decoder": "GRU"}\' for the UNetRNN family '
+                             'or \'{"layers": [1,1,1,1]}\' for a shallow '
+                             'DeepLab (each arch documents its fields)')
 
     return vars(parser.parse_args(argv))
 
@@ -201,6 +207,12 @@ def main(argv=None):
     arch_cls = models.get_arch(config['arch'])
     if config.get('remat') and 'remat' in getattr(arch_cls, '__dataclass_fields__', {}):
         extra['remat'] = True
+    if config.get('arch_kwargs'):
+        try:
+            extra.update(models.parse_arch_kwargs(config['arch'],
+                                                  config['arch_kwargs']))
+        except ValueError as e:
+            sys.exit(f"--arch_kwargs: {e}")
     model = models.create_model(config['arch'], config['num_classes'],
                                 config['input_channels'],
                                 config['deep_supervision'], dtype=dtype, **extra)
