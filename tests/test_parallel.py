@@ -124,3 +124,32 @@ def test_epoch_scan_matches_per_step_loop():
     np.testing.assert_allclose(np.asarray(metrics["loss"]), losses_ref, rtol=1e-4)
     for a, b in zip(jax.tree.leaves(s_ref.params), jax.tree.leaves(s_scan.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_wrapped_optimizer_state_shards_on_mesh(mesh):
+    """The failure-detection + grad-accumulation wrapper states
+    (ApplyIfFiniteState / MultiStepsState) replicate and update correctly
+    under the pjit-sharded train step."""
+    rng = np.random.default_rng(3)
+    model = models.create_model("UNet", num_classes=1)
+    imgs = rng.integers(0, 255, (8, 16, 16, 3), dtype=np.uint8)
+    msks = (rng.random((8, 16, 16, 1)) > 0.5).astype(np.uint8) * 255
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 16, 16, 3)),
+                           train=True)
+    tx = build_optimizer("SGD", 1e-3, 0.9, 1e-4, skip_nonfinite=2,
+                         accum_steps=2)
+    state = jax.device_put(TrainState.create(variables, tx),
+                           replicated_sharding(mesh))
+    step = make_train_step(model, tx, "BCEDiceLoss", False, mesh=mesh,
+                           donate=False)
+    bs = batch_sharding(mesh)
+    for i in range(2):
+        state, metrics = step(state, jax.device_put(jnp.asarray(imgs), bs),
+                              jax.device_put(jnp.asarray(msks), bs),
+                              jax.random.PRNGKey(i))
+    assert np.isfinite(float(metrics["loss"]))
+    from pytorch_nested_unet_tpu.training.optim import (
+        get_learning_rate, nonfinite_count,
+    )
+    assert nonfinite_count(state.opt_state) == 0  # healthy grads, none skipped
+    assert get_learning_rate(state.opt_state) == pytest.approx(1e-3)
