@@ -58,6 +58,10 @@ def parse_args(argv=None):
                    help='batch k sliding-window tiles per device dispatch in '
                         'the full refinement pipeline')
     p.add_argument('--platform', default='default')
+    p.add_argument('--precision', default=None, choices=['bf16', 'fp32'],
+                   help="serving compute precision override (default: the "
+                        "capsule's training precision) — bf16 halves "
+                        "activation traffic on TPU; params stay f32")
     return vars(p.parse_args(argv))
 
 
@@ -72,7 +76,8 @@ def main(argv=None):
     from pytorch_nested_unet_tpu.training.loop import make_predict_fn
 
     model_dir = os.path.join(args['output_dir'], args['name'])
-    model, variables, config = checkpoint.load_capsule(model_dir)
+    dtype = {None: None, 'bf16': jnp.bfloat16, 'fp32': False}[args['precision']]
+    model, variables, config = checkpoint.load_capsule(model_dir, dtype=dtype)
     size_hw = (config['input_h'], config['input_w'])
 
     ext = args['img_ext'] or config['img_ext']

@@ -47,7 +47,11 @@ def load_capsule(model_dir: str, dtype=None):
     from ..utils.config import load_config
 
     config = load_config(model_dir)
-    if dtype is None and config.get("precision") == "bf16":
+    # dtype: None = the capsule's training precision; False = force f32
+    # compute; or an explicit jnp dtype
+    if dtype is False:
+        dtype = None
+    elif dtype is None and config.get("precision") == "bf16":
         dtype = jnp.bfloat16
     extra = models.parse_arch_kwargs(config["arch"], config.get("arch_kwargs"))
     model = models.create_model(config["arch"], config["num_classes"],
