@@ -5,6 +5,9 @@
 Headline: training throughput (images/sec/chip) of the flagship NestedUNet w/
 deep supervision on the reference protocol shapes (96x96x3, BCEDice, SGD
 momentum/wd), bf16 compute, full train step (augment+fwd+bwd+update) on device.
+The default run also appends a `zoo` array covering the whole model zoo at the
+same protocol so the recorded artifact carries the per-arch table
+(`--no_zoo` / `--quick` to skip; `--arch X` to headline a different arch).
 
 Measurement method: K train steps run inside ONE jitted lax.scan (single
 dispatch), and the clock stops on a scalar readback of the final loss — this
@@ -24,12 +27,45 @@ import time
 
 import numpy as np
 
+# Archs benchmarked by the default zoo sweep (reference protocol shapes fit
+# all of them; the rest of the registry is covered by `--arch X` on demand).
+ZOO_ARCHS = [
+    "UNet", "NestedUNet", "UNetRNN", "UNetRNNGhost", "AttU_Net", "R2U_Net",
+    "Comprehensive_Atten_Unet", "ResNet50UNet", "UNetRM7", "UNetRM3",
+    "DoubleUnet", "VGG16RNN", "R2AttU_Net", "ResNet18RNN", "ResNet50RNN",
+    "ResNet50FCN",
+]
+
+# Per-chip peaks (bf16 TFLOP/s, HBM GB/s) keyed by device_kind substring, so
+# the roofline block is labeled for the hardware actually benchmarked instead
+# of assuming v5e. Public numbers from cloud.google.com/tpu/docs.
+_PEAKS = {
+    "v5 lite": (197.0, 819.0),
+    "v5e": (197.0, 819.0),
+    "v5p": (459.0, 2765.0),
+    "v6 lite": (918.0, 1640.0),
+    "v6e": (918.0, 1640.0),
+    "v4": (275.0, 1228.0),
+    "v3": (123.0, 900.0),
+    "v2": (45.0, 700.0),
+}
+
+
+def _device_peaks(dev):
+    kind = str(getattr(dev, "device_kind", ""))
+    low = kind.lower()
+    for key, peaks in _PEAKS.items():
+        if key in low:
+            return kind, peaks
+    return kind, None
+
 
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--arch", default="NestedUNet")
-    parser.add_argument("--deep_supervision", default=True,
-                        type=lambda v: str(v).lower() in ("1", "true", "t", "yes"))
+    parser.add_argument("--deep_supervision", default=None,
+                        type=lambda v: str(v).lower() in ("1", "true", "t", "yes"),
+                        help="default: true for NestedUNet, false otherwise")
     parser.add_argument("--batch_size", default=16, type=int,
                         help="reference protocol batch (trains.py:38)")
     parser.add_argument("--input_hw", default=96, type=int)
@@ -37,14 +73,20 @@ def main():
     parser.add_argument("--steps", default=20, type=int,
                         help="scan length per timed dispatch")
     parser.add_argument("--repeats", default=3, type=int)
-    parser.add_argument("--quick", action="store_true", help="fewer steps")
+    parser.add_argument("--quick", action="store_true", help="fewer steps, no zoo")
     parser.add_argument("--sweep", dest="sweep", action="store_true", default=True,
                         help="also sweep larger batches and report the best (default)")
     parser.add_argument("--no_sweep", dest="sweep", action="store_false")
+    parser.add_argument("--zoo", dest="zoo", action="store_true", default=True,
+                        help="append a per-arch zoo array (default)")
+    parser.add_argument("--no_zoo", dest="zoo", action="store_false")
     args = parser.parse_args()
     if args.quick:
         args.steps, args.repeats = 20, 2
         args.sweep = False
+        args.zoo = False
+    if args.deep_supervision is None:
+        args.deep_supervision = args.arch == "NestedUNet"
 
     import jax
 
@@ -54,33 +96,37 @@ def main():
                       os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    import jax
     import jax.numpy as jnp
     from jax import lax
 
     from pytorch_nested_unet_tpu import models
     from pytorch_nested_unet_tpu.training import (
-        TrainState, build_optimizer, make_eval_step, make_train_step,
+        TrainState, build_optimizer, make_train_step,
     )
     from pytorch_nested_unet_tpu.training.loop import make_predict_fn
 
     dev = jax.devices()[0]
+    device_kind, peaks = _device_peaks(dev)
     dtype = jnp.bfloat16 if args.precision == "bf16" else None
     hw = args.input_hw
-
-    model = models.create_model(args.arch, 1, 3, args.deep_supervision, dtype=dtype)
     tx = build_optimizer("SGD", 1e-3, 0.9, 1e-4)
     rng = np.random.default_rng(0)
 
-    def measure_train(batch):
-        """images/sec and ms/step from a K-step scan in one dispatch."""
+    def build(arch, ds):
+        return models.create_model(arch, 1, 3, ds, dtype=dtype)
+
+    def batch_data(batch):
         imgs = jnp.asarray(rng.integers(0, 255, (batch, hw, hw, 3), dtype=np.uint8))
         msks = jnp.asarray((rng.random((batch, hw, hw, 1)) > 0.5).astype(np.uint8) * 255)
+        return imgs, msks
+
+    def measure_train(model, ds, batch, steps, repeats):
+        """images/sec and ms/step from a K-step scan in one dispatch."""
+        imgs, msks = batch_data(batch)
         variables = model.init(jax.random.PRNGKey(0),
                                jnp.zeros((batch, hw, hw, 3), jnp.float32), train=True)
         state = TrainState.create(variables, tx)
-        step = make_train_step(model, tx, "BCEDiceLoss", args.deep_supervision,
-                               donate=False)
+        step = make_train_step(model, tx, "BCEDiceLoss", ds, donate=False)
 
         @jax.jit
         def run_k(state, key):
@@ -90,38 +136,39 @@ def main():
                 st, metrics = step(st, imgs, msks, sub)
                 return (st, k), metrics["loss"]
 
-            (state, _), losses = lax.scan(body, (state, key), None,
-                                          length=args.steps)
+            (state, _), losses = lax.scan(body, (state, key), None, length=steps)
             return state, losses[-1]
 
         # warm up (compile) + one real run
         st, loss = run_k(state, jax.random.PRNGKey(1))
         _ = float(loss)
         best = float("inf")
-        for r in range(args.repeats):
+        for r in range(repeats):
             t0 = time.perf_counter()
             st, loss = run_k(st, jax.random.PRNGKey(2 + r))
             _ = float(loss)  # D2H readback is the true completion barrier
-            best = min(best, (time.perf_counter() - t0) / args.steps)
+            best = min(best, (time.perf_counter() - t0) / steps)
         return batch / best, best * 1e3
 
-    def measure_infer(batch=1):
+    def measure_infer(model, ds, batch=1, e2e=True):
         """p50 end-to-end latency (dispatch + fwd + readback) and pure device
-        throughput via a scanned forward."""
-        imgs = jnp.asarray(rng.integers(0, 255, (batch, hw, hw, 3), dtype=np.uint8))
+        time via a scanned forward."""
+        imgs, _ = batch_data(batch)
         variables = model.init(jax.random.PRNGKey(0),
                                jnp.zeros((batch, hw, hw, 3), jnp.float32), train=True)
-        predict = make_predict_fn(model, args.deep_supervision)
-        out = predict(variables["params"], variables["batch_stats"], imgs)
-        _ = float(out.sum())
-        ts = []
-        for _ in range(20):
-            t0 = time.perf_counter()
+        predict = make_predict_fn(model, ds)
+        p50_e2e = None
+        if e2e:
             out = predict(variables["params"], variables["batch_stats"], imgs)
             _ = float(out.sum())
-            ts.append(time.perf_counter() - t0)
-        ts.sort()
-        p50_e2e = ts[len(ts) // 2] * 1e3
+            ts = []
+            for _i in range(20):
+                t0 = time.perf_counter()
+                out = predict(variables["params"], variables["batch_stats"], imgs)
+                _ = float(out.sum())
+                ts.append(time.perf_counter() - t0)
+            ts.sort()
+            p50_e2e = ts[len(ts) // 2] * 1e3
 
         k = 50
 
@@ -142,9 +189,51 @@ def main():
         dev_ms = (time.perf_counter() - t0) / k * 1e3
         return p50_e2e, dev_ms
 
-    ips, step_ms = measure_train(args.batch_size)
+    def roofline(model, ds, batch, step_ms):
+        """XLA's own cost model for one train step vs what we measured, against
+        the benchmarked device's peaks (unknown device kinds get raw achieved
+        numbers only). The protocol workload (96x96, filters 32-512) is
+        HBM-bound, so % of the bandwidth roofline is the honest utilization
+        number; >100%% means XLA fused away traffic the cost model counts."""
+        try:
+            imgs, msks = batch_data(batch)
+            variables = model.init(jax.random.PRNGKey(0),
+                                   jnp.zeros((batch, hw, hw, 3), jnp.float32),
+                                   train=True)
+            state = TrainState.create(variables, tx)
+            step = make_train_step(model, tx, "BCEDiceLoss", ds, donate=False)
+            ca = step.lower(state, imgs, msks,
+                            jax.random.PRNGKey(0)).compile().cost_analysis()
+            if isinstance(ca, list):
+                ca = ca[0]
+            flops = float(ca.get("flops", 0.0))
+            hbm_bytes = float(ca.get("bytes accessed", 0.0))
+            if not (flops and hbm_bytes and step_ms):
+                return None
+            out = {
+                "xla_flops_per_step": round(flops / 1e9, 2),  # GFLOP
+                "xla_hbm_gb_per_step": round(hbm_bytes / 1e9, 3),
+                "achieved_tflops": round(flops / (step_ms * 1e-3) / 1e12, 2),
+                "achieved_hbm_gbps": round(hbm_bytes / (step_ms * 1e-3) / 1e9, 1),
+                "assumed_hardware": device_kind or "unknown",
+            }
+            if peaks:
+                tflops_peak, hbm_peak = peaks
+                out["peaks"] = {"bf16_tflops": tflops_peak, "hbm_gbps": hbm_peak}
+                out["bound"] = ("hbm" if hbm_bytes / (hbm_peak * 1e9)
+                                > flops / (tflops_peak * 1e12) else "compute")
+                out["pct_of_hbm_roofline"] = round(
+                    100 * (hbm_bytes / (hbm_peak * 1e9)) / (step_ms * 1e-3), 1)
+            return out
+        except Exception:
+            return None  # cost model availability varies by backend
+
+    model = build(args.arch, args.deep_supervision)
+    ips, step_ms = measure_train(model, args.deep_supervision, args.batch_size,
+                                 args.steps, args.repeats)
     detail = {
         "device": str(dev),
+        "device_kind": device_kind or "unknown",
         "arch": args.arch,
         "deep_supervision": args.deep_supervision,
         "precision": args.precision,
@@ -153,43 +242,16 @@ def main():
         "train_step_ms": round(step_ms, 3),
         "method": f"lax.scan x{args.steps} per dispatch, scalar readback barrier",
     }
-
-    # Roofline: XLA's own cost model for one train step vs what we measured.
-    # v5e: 197 TFLOP/s bf16 MXU peak, 819 GB/s HBM. The workload (96x96,
-    # filters 32-512) is HBM-bound, so % of the bandwidth roofline is the
-    # honest utilization number.
-    try:
-        batch = args.batch_size
-        imgs = jnp.asarray(rng.integers(0, 255, (batch, hw, hw, 3), dtype=np.uint8))
-        msks = jnp.asarray((rng.random((batch, hw, hw, 1)) > 0.5).astype(np.uint8) * 255)
-        variables = model.init(jax.random.PRNGKey(0),
-                               jnp.zeros((batch, hw, hw, 3), jnp.float32), train=True)
-        state = TrainState.create(variables, tx)
-        step = make_train_step(model, tx, "BCEDiceLoss", args.deep_supervision,
-                               donate=False)
-        ca = step.lower(state, imgs, msks, jax.random.PRNGKey(0)).compile().cost_analysis()
-        if isinstance(ca, list):
-            ca = ca[0]
-        flops = float(ca.get("flops", 0.0))
-        hbm_bytes = float(ca.get("bytes accessed", 0.0))
-        if flops and hbm_bytes and step_ms:
-            detail["roofline"] = {
-                "xla_flops_per_step": round(flops / 1e9, 2),  # GFLOP
-                "xla_hbm_gb_per_step": round(hbm_bytes / 1e9, 3),
-                "achieved_tflops": round(flops / (step_ms * 1e-3) / 1e12, 2),
-                "achieved_hbm_gbps": round(hbm_bytes / (step_ms * 1e-3) / 1e9, 1),
-                "bound": "hbm" if hbm_bytes / 819e9 > flops / 197e12 else "compute",
-                "pct_of_hbm_roofline": round(
-                    100 * (hbm_bytes / 819e9) / (step_ms * 1e-3), 1),
-            }
-    except Exception:
-        pass  # cost model availability varies by backend; roofline is optional
+    rl = roofline(model, args.deep_supervision, args.batch_size, step_ms)
+    if rl:
+        detail["roofline"] = rl
 
     if args.sweep:
         best = (ips, args.batch_size)
         for b in (64, 128, 256):
             try:
-                v, _ = measure_train(b)
+                v, _ = measure_train(model, args.deep_supervision, b,
+                                     args.steps, args.repeats)
             except Exception:
                 break
             if v > best[0]:
@@ -197,9 +259,31 @@ def main():
         detail["best_sweep_images_per_sec"] = round(best[0], 2)
         detail["best_sweep_batch"] = best[1]
 
-    p50_e2e, dev_ms = measure_infer(1)
+    p50_e2e, dev_ms = measure_infer(model, args.deep_supervision, 1)
     detail["p50_infer_ms_b1_e2e"] = round(p50_e2e, 3)
     detail["infer_ms_b1_device"] = round(dev_ms, 3)
+
+    if args.zoo:
+        zoo = []
+        for arch in ZOO_ARCHS:
+            ds = arch == "NestedUNet"
+            try:
+                m = build(arch, ds)
+                a_ips, a_ms = measure_train(m, ds, args.batch_size,
+                                            args.steps, max(1, args.repeats - 1))
+                _, a_dev = measure_infer(m, ds, 1, e2e=False)
+                row = {"arch": arch, "deep_supervision": ds,
+                       "train_images_per_sec": round(a_ips, 1),
+                       "train_step_ms": round(a_ms, 2),
+                       "infer_ms_b1_device": round(a_dev, 3)}
+                a_rl = roofline(m, ds, args.batch_size, a_ms)
+                if a_rl and "pct_of_hbm_roofline" in a_rl:
+                    row["pct_of_hbm_roofline"] = a_rl["pct_of_hbm_roofline"]
+                    row["achieved_tflops"] = a_rl["achieved_tflops"]
+                zoo.append(row)
+            except Exception as e:  # keep the sweep going; record the failure
+                zoo.append({"arch": arch, "error": f"{type(e).__name__}: {e}"})
+        detail["zoo"] = zoo
 
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BASELINE_MEASURED.json")
@@ -214,7 +298,9 @@ def main():
         }
 
     print(json.dumps({
-        "metric": "train_images_per_sec_per_chip (NestedUNet wDS, 96x96, batch 16)",
+        "metric": f"train_images_per_sec_per_chip ({args.arch}"
+                  f"{' wDS' if args.deep_supervision else ''}, {hw}x{hw}, "
+                  f"batch {args.batch_size})",
         "value": round(ips, 2),
         "unit": "images/sec/chip",
         "vs_baseline": vs,

@@ -50,6 +50,12 @@ def parse_args(argv=None):
     p.add_argument('--full_res', default=False, type=str2bool,
                    help="resize predicted masks back to each image's "
                         "original resolution")
+    p.add_argument('--out_ext', default='.png', choices=['.png', '.jpg'],
+                   help="output mask format. '.png' (default) is lossless — "
+                        "thresholded masks stay truly binary and probability "
+                        "masks keep 8-bit precision; '.jpg' matches the "
+                        "reference's val.py output convention (reference "
+                        "val.py:100-105) at the cost of ringing artifacts")
     p.add_argument('--refine', default=False, type=str2bool)
     p.add_argument('--refine_weights', default=None)
     p.add_argument('--refine_L', default=900, type=int)
@@ -137,7 +143,7 @@ def main(argv=None):
                 if args['threshold'] >= 0:  # after resize: truly binary output
                     m = (m >= args['threshold']).astype(np.float32)
                 cv2.imwrite(os.path.join(args['save_dir'], args['name'], str(c),
-                                         f'{ids[i]}.jpg'),
+                                         ids[i] + args['out_ext']),
                             (m * 255).astype(np.uint8))
                 written += 1
 

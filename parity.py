@@ -1,0 +1,434 @@
+#!/usr/bin/env python
+"""Cross-framework accuracy-parity harness (VERDICT.md round-1 item 1).
+
+Trains the REFERENCE's own torch model definitions (imported at runtime from an
+upstream checkout — default /root/reference, never vendored into this repo) and
+THIS framework side by side on the *identical* synthetic dataset, split, batch
+schedule, parameter initialization, and optimization protocol (reference
+trains.py:36-98: SGD momentum 0.9 wd 1e-4, cosine annealing, BCEDice or
+LovaszHinge, deep-supervision loss averaging trains.py:118-124), then compares:
+
+  1. per-epoch train-loss / train-IoU / val-IoU trajectories,
+  2. final val IoU within a stated tolerance,
+  3. converted-checkpoint eval equality BOTH directions through the torch
+     converter (utils/torch_convert.py) — torch-trained weights evaluated by
+     this framework and vice versa must produce matching logits.
+
+Both sides start from the SAME weights (the torch init converted to flax), so
+epoch-0 losses must agree to float tolerance; later epochs may drift through
+floating-point chaos, which is why the gate is trajectory-shape + final IoU,
+not bitwise equality.
+
+    python parity.py --arch NestedUNet --deep_supervision true --epochs 15
+    python parity.py --arch UNet --loss LovaszHingeLoss
+    python parity.py --quick          # small preset used by the test suite
+
+Requires a reference checkout (--reference) and torch (CPU is fine). Exits 0
+and writes PARITY_RUN.json when every gate passes.
+
+For the real-data protocol (README.md results table: DSB2018 96x96, IoU
+0.839/0.842/0.843) run parity_dsb2018.sh the moment the dataset is available —
+it executes the reference README protocol verbatim against this framework.
+"""
+
+import argparse
+import copy
+import importlib.util
+import json
+import math
+import os
+import sys
+
+import numpy as np
+
+IMAGENET_MEAN = np.asarray((0.485, 0.456, 0.406), np.float32)
+IMAGENET_STD = np.asarray((0.229, 0.224, 0.225), np.float32)
+
+
+# ---------------------------------------------------------------- dataset ----
+
+def make_synthetic_dataset(n, hw, seed):
+    """Deterministic segmentation task hard enough not to saturate instantly:
+    1-3 rotated ellipses (green-tinted, moderate contrast) over a textured
+    background, with bright red distractor rectangles that must NOT be
+    segmented, plus pixel noise."""
+    rng = np.random.default_rng(seed)
+    images = np.zeros((n, hw, hw, 3), np.uint8)
+    masks = np.zeros((n, hw, hw, 1), np.uint8)
+    yy, xx = np.mgrid[0:hw, 0:hw]
+    for i in range(n):
+        img = rng.integers(40, 120, (hw, hw, 3)).astype(np.float32)
+        m = np.zeros((hw, hw), bool)
+        for _ in range(int(rng.integers(1, 4))):
+            cy, cx = rng.integers(hw // 6, hw - hw // 6, 2)
+            ry, rx = rng.integers(max(2, hw // 12), max(3, hw // 5), 2)
+            ang = rng.uniform(0, np.pi)
+            ca, sa = np.cos(ang), np.sin(ang)
+            u = (yy - cy) * ca + (xx - cx) * sa
+            v = -(yy - cy) * sa + (xx - cx) * ca
+            m |= (u / ry) ** 2 + (v / rx) ** 2 < 1.0
+        img[m] += np.asarray([25, 60, 25], np.float32)
+        if rng.random() < 0.7:  # distractor
+            y0, x0 = rng.integers(0, max(1, hw - hw // 4), 2)
+            img[y0:y0 + hw // 6, x0:x0 + hw // 6] += np.asarray(
+                [70, 20, 20], np.float32)
+        img += rng.normal(0, 12, img.shape)
+        images[i] = np.clip(img, 0, 255).astype(np.uint8)
+        masks[i] = (m[..., None] * np.uint8(255))
+    return images, masks
+
+
+def batch_schedule(n, batch, epochs, seed):
+    """Per-epoch shuffled drop_last batch index arrays — the exact schedule fed
+    to BOTH frameworks (reference DataLoader shuffle+drop_last semantics,
+    trains.py:291-302)."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(epochs):
+        order = rng.permutation(n)
+        out.append([order[s:s + batch]
+                    for s in range(0, n - batch + 1, batch)])
+    return out
+
+
+def normalize_np(images_u8):
+    """The full reference input transform: /255 -> albumentations Normalize ->
+    the Dataset's extra /255 (reference trains.py:269-272 + dataset.py:71)."""
+    x = images_u8.astype(np.float32) / 255.0
+    return ((x - IMAGENET_MEAN) / IMAGENET_STD) / 255.0
+
+
+def iou_np(logits, target, thr=0.5, smooth=1e-5):
+    """Reference iou_score semantics (reference metrics.py:6-18): sigmoid >
+    0.5 on output, > 0.5 on target, whole-batch intersection/union."""
+    p = 1.0 / (1.0 + np.exp(-logits)) > thr
+    t = target > thr
+    inter = np.logical_and(p, t).sum()
+    union = np.logical_or(p, t).sum()
+    return float((inter + smooth) / (union + smooth))
+
+
+def cosine_lr(epoch, base, epochs, min_lr):
+    """torch CosineAnnealingLR closed form (reference trains.py:240-242)."""
+    return min_lr + (base - min_lr) * (1 + math.cos(math.pi * epoch / epochs)) / 2
+
+
+# ----------------------------------------------------------- torch trainer ---
+
+def _import_module(path, name):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _torch_bce_dice(torch):
+    """Reference BCEDiceLoss formula (reference losses.py:103-117):
+    0.5 * BCEWithLogits + (1 - mean per-sample Dice), smooth 1e-5."""
+    import torch.nn.functional as F
+
+    def crit(output, target):
+        bce = F.binary_cross_entropy_with_logits(output, target)
+        smooth = 1e-5
+        probs = torch.sigmoid(output)
+        num = target.size(0)
+        p = probs.view(num, -1)
+        t = target.view(num, -1)
+        inter = (p * t).sum(1)
+        dice = (2.0 * inter + smooth) / (p.sum(1) + t.sum(1) + smooth)
+        return 0.5 * bce + (1 - dice.sum() / num)
+
+    return crit
+
+
+def run_torch(ref_root, arch, ds_flag, loss_name, images, masks, schedule,
+              val_idx, lr, min_lr, epochs):
+    """Train the reference's own model definition with the reference protocol.
+    Returns (init_state_dict, final_model, curves)."""
+    import torch
+
+    torch.manual_seed(0)
+    archs = _import_module(os.path.join(ref_root, "finished", "archs1.py"),
+                           "ref_archs1")
+    model = getattr(archs, arch)(1, 3, ds_flag)
+    init_sd = copy.deepcopy(model.state_dict())
+
+    if loss_name == "LovaszHingeLoss":
+        ref_losses = _import_module(os.path.join(ref_root, "losses.py"),
+                                    "ref_losses")
+        crit = ref_losses.LovaszHingeLoss()
+    else:
+        crit = _torch_bce_dice(torch)
+
+    opt = torch.optim.SGD(model.parameters(), lr=lr, momentum=0.9,
+                          weight_decay=1e-4)
+
+    imgs_n = normalize_np(images).transpose(0, 3, 1, 2)
+    msks_n = (masks.astype(np.float32) / 255.0).transpose(0, 3, 1, 2)
+
+    def as_t(a):
+        return torch.from_numpy(np.ascontiguousarray(a))
+
+    curves = {"loss": [], "iou": [], "val_loss": [], "val_iou": []}
+    for epoch in range(epochs):
+        for g in opt.param_groups:
+            g["lr"] = cosine_lr(epoch, lr, epochs, min_lr)
+        model.train()
+        ep_loss, ep_iou, seen = 0.0, 0.0, 0
+        for idx in schedule[epoch]:
+            x, y = as_t(imgs_n[idx]), as_t(msks_n[idx])
+            out = model(x)
+            if ds_flag:  # avg loss over heads, IoU on the last (trains.py:118-124)
+                loss = sum(crit(o, y) for o in out) / len(out)
+                final = out[-1]
+            else:
+                loss, final = crit(out, y), out
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            b = len(idx)
+            ep_loss += float(loss.detach()) * b
+            ep_iou += iou_np(final.detach().numpy(), y.numpy()) * b
+            seen += b
+        model.eval()
+        with torch.no_grad():
+            x, y = as_t(imgs_n[val_idx]), as_t(msks_n[val_idx])
+            out = model(x)
+            if ds_flag:
+                vloss = sum(crit(o, y) for o in out) / len(out)
+                final = out[-1]
+            else:
+                vloss, final = crit(out, y), out
+            curves["val_loss"].append(float(vloss))
+            curves["val_iou"].append(iou_np(final.numpy(), y.numpy()))
+        curves["loss"].append(ep_loss / seen)
+        curves["iou"].append(ep_iou / seen)
+    return init_sd, model, curves
+
+
+# ------------------------------------------------------------- jax trainer ---
+
+def run_jax(arch, ds_flag, loss_name, init_sd, images, masks, schedule,
+            val_idx, lr, min_lr, epochs):
+    """Train THIS framework from the converted torch init on the same data and
+    schedule. Returns (model, final_variables, curves)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pytorch_nested_unet_tpu import models
+    from pytorch_nested_unet_tpu.training import (
+        TrainState, build_optimizer, make_eval_step, make_train_step,
+        set_learning_rate,
+    )
+    from pytorch_nested_unet_tpu.utils.torch_convert import (
+        convert_reference_state_dict,
+    )
+
+    model = models.create_model(arch, 1, 3, ds_flag)  # f32
+    variables = convert_reference_state_dict(init_sd)
+    tx = build_optimizer("SGD", lr, 0.9, 1e-4)
+    state = TrainState.create(variables, tx)
+    step = make_train_step(model, tx, loss_name, ds_flag, augment=False,
+                           donate=False)
+    eval_step = make_eval_step(model, loss_name, ds_flag)
+
+    imgs_d = jnp.asarray(images)
+    msks_d = jnp.asarray(masks)
+    key = jax.random.PRNGKey(0)  # unused: augment=False
+    ones = jnp.ones((len(val_idx),), jnp.float32)
+
+    curves = {"loss": [], "iou": [], "val_loss": [], "val_iou": []}
+    for epoch in range(epochs):
+        state = state.replace(opt_state=set_learning_rate(
+            state.opt_state, cosine_lr(epoch, lr, epochs, min_lr)))
+        ep_loss, ep_iou, seen = 0.0, 0.0, 0
+        for idx in schedule[epoch]:
+            i = jnp.asarray(idx)
+            state, metrics = step(state, jnp.take(imgs_d, i, axis=0),
+                                  jnp.take(msks_d, i, axis=0), key)
+            b = len(idx)
+            ep_loss += float(metrics["loss"]) * b
+            ep_iou += float(metrics["iou"]) * b
+            seen += b
+        vm = eval_step(state.params, state.batch_stats,
+                       jnp.take(imgs_d, jnp.asarray(val_idx), axis=0),
+                       jnp.take(msks_d, jnp.asarray(val_idx), axis=0), ones)
+        curves["loss"].append(ep_loss / seen)
+        curves["iou"].append(ep_iou / seen)
+        curves["val_loss"].append(float(vm["loss"]))
+        curves["val_iou"].append(float(vm["iou"]))
+    final = {"params": state.params, "batch_stats": state.batch_stats}
+    return model, final, curves
+
+
+# ------------------------------------------------------ converted-weights ----
+
+def cross_eval(torch_model, ds_flag, jax_model, jax_vars, images, masks,
+               val_idx):
+    """Converted-checkpoint eval equality both directions (VERDICT item 1):
+    max |Δ logits| between frameworks evaluating the SAME weights."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from pytorch_nested_unet_tpu.utils.torch_convert import (
+        convert_reference_state_dict, export_reference_state_dict,
+    )
+    from pytorch_nested_unet_tpu.data.augment import eval_transform
+
+    imgs_n = normalize_np(images[val_idx]).transpose(0, 3, 1, 2)
+    x_t = torch.from_numpy(np.ascontiguousarray(imgs_n))
+    imgs_u8 = jnp.asarray(images[val_idx])
+
+    def jax_logits(variables):
+        xj, _ = eval_transform(imgs_u8, jnp.zeros_like(imgs_u8))
+        out = jax_model.apply({"params": variables["params"],
+                               "batch_stats": variables["batch_stats"]},
+                              xj, train=False)
+        out = out[-1] if isinstance(out, (list, tuple)) else out
+        return np.asarray(out)[..., 0]
+
+    def torch_logits(m):
+        m.eval()
+        with torch.no_grad():
+            out = m(x_t)
+            out = out[-1] if isinstance(out, list) else out
+        return out.numpy()[:, 0]
+
+    # direction 1: torch-trained -> this framework
+    v_from_torch = convert_reference_state_dict(
+        copy.deepcopy(torch_model.state_dict()))
+    d1 = float(np.abs(jax_logits(v_from_torch) - torch_logits(torch_model)).max())
+
+    # direction 2: this framework -> torch
+    sd = export_reference_state_dict(jax_vars)
+    sd_t = {k: torch.from_numpy(np.array(v, copy=True)) for k, v in sd.items()}
+    missing, unexpected = torch_model.load_state_dict(sd_t, strict=False)
+    bad = ([k for k in missing if "num_batches_tracked" not in k]
+           + list(unexpected))
+    if bad:
+        raise RuntimeError(f"export key mismatch: {bad[:8]}")
+    d2 = float(np.abs(jax_logits(jax_vars) - torch_logits(torch_model)).max())
+    return d1, d2
+
+
+# --------------------------------------------------------------------- main --
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--reference", default="/root/reference",
+                   help="path to an upstream reference checkout")
+    p.add_argument("--arch", default="NestedUNet",
+                   choices=["UNet", "NestedUNet", "UNetRNN"],
+                   help="archs with CPU-runnable reference defs "
+                        "(reference finished/archs1.py:11)")
+    p.add_argument("--deep_supervision", default=False,
+                   type=lambda v: str(v).lower() in ("1", "true", "t", "yes"))
+    p.add_argument("--loss", default="BCEDiceLoss",
+                   choices=["BCEDiceLoss", "LovaszHingeLoss"])
+    p.add_argument("--epochs", default=15, type=int)
+    p.add_argument("--batch_size", default=8, type=int)
+    p.add_argument("--size", default=48, type=int)
+    p.add_argument("--n_train", default=64, type=int)
+    p.add_argument("--n_val", default=16, type=int)
+    p.add_argument("--lr", default=1e-3, type=float)
+    p.add_argument("--min_lr", default=1e-5, type=float)
+    p.add_argument("--seed", default=41, type=int)
+    p.add_argument("--tol_iou", default=0.05, type=float,
+                   help="max allowed |final val IoU (torch) - (ours)|")
+    p.add_argument("--tol_first_loss", default=2e-3, type=float,
+                   help="max allowed epoch-0 train-loss gap (same init + data "
+                        "=> must agree before float chaos accumulates)")
+    p.add_argument("--tol_logits", default=5e-4, type=float,
+                   help="max allowed |Δ logits| for converted weights")
+    p.add_argument("--out", default="PARITY_RUN.json")
+    p.add_argument("--quick", action="store_true",
+                   help="small preset (UNet 32x32, 4 epochs) for CI")
+    p.add_argument("--platform", default="cpu",
+                   help="jax platform for our side (default cpu: exact f32 "
+                        "accumulation matching the torch CPU reference run; "
+                        "'default' keeps jax's pick, e.g. an attached TPU)")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.quick:
+        args.arch, args.deep_supervision = "UNet", False
+        args.epochs, args.batch_size, args.size = 4, 4, 32
+        args.n_train, args.n_val = 16, 8
+    if not os.path.isfile(os.path.join(args.reference, "finished", "archs1.py")):
+        sys.exit(f"no reference checkout at {args.reference} "
+                 f"(expected finished/archs1.py)")
+
+    # parity needs exact f32 conv accumulation on both sides
+    from pytorch_nested_unet_tpu.utils.backend import configure_backend
+    configure_backend(args.platform)
+    import jax
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    n = args.n_train + args.n_val
+    images, masks = make_synthetic_dataset(n, args.size, args.seed)
+    val_idx = np.arange(args.n_train, n)
+    schedule = batch_schedule(args.n_train, args.batch_size, args.epochs,
+                              args.seed)
+
+    print(f"parity: {args.arch}{' wDS' if args.deep_supervision else ''} "
+          f"{args.loss} {args.size}x{args.size} "
+          f"train {args.n_train} / val {args.n_val} batch {args.batch_size} "
+          f"epochs {args.epochs}")
+
+    init_sd, torch_model, ref = run_torch(
+        args.reference, args.arch, args.deep_supervision, args.loss,
+        images, masks, schedule, val_idx, args.lr, args.min_lr, args.epochs)
+    jax_model, jax_vars, ours = run_jax(
+        args.arch, args.deep_supervision, args.loss, init_sd,
+        images, masks, schedule, val_idx, args.lr, args.min_lr, args.epochs)
+
+    print(f"{'ep':>3} {'ref loss':>9} {'our loss':>9} {'Δloss':>8} "
+          f"{'ref vIoU':>9} {'our vIoU':>9}")
+    for e in range(args.epochs):
+        print(f"{e:>3} {ref['loss'][e]:>9.4f} {ours['loss'][e]:>9.4f} "
+              f"{abs(ref['loss'][e] - ours['loss'][e]):>8.4f} "
+              f"{ref['val_iou'][e]:>9.4f} {ours['val_iou'][e]:>9.4f}")
+
+    d1, d2 = cross_eval(torch_model, args.deep_supervision, jax_model,
+                        jax_vars, images, masks, val_idx)
+
+    first_gap = abs(ref["loss"][0] - ours["loss"][0])
+    final_gap = abs(ref["val_iou"][-1] - ours["val_iou"][-1])
+    checks = {
+        "epoch0_train_loss_gap": {
+            "value": first_gap, "tol": args.tol_first_loss,
+            "ok": first_gap <= args.tol_first_loss},
+        "final_val_iou_gap": {
+            "value": final_gap, "tol": args.tol_iou,
+            "ok": final_gap <= args.tol_iou},
+        "torch_to_ours_logits_maxdiff": {
+            "value": d1, "tol": args.tol_logits, "ok": d1 <= args.tol_logits},
+        "ours_to_torch_logits_maxdiff": {
+            "value": d2, "tol": args.tol_logits, "ok": d2 <= args.tol_logits},
+    }
+    ok = all(c["ok"] for c in checks.values())
+    result = {
+        "config": {k: getattr(args, k) for k in
+                   ("arch", "deep_supervision", "loss", "epochs", "batch_size",
+                    "size", "n_train", "n_val", "lr", "seed")},
+        "reference_curves": ref,
+        "our_curves": ours,
+        "checks": checks,
+        "ok": ok,
+    }
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    for name, c in checks.items():
+        print(f"{'PASS' if c['ok'] else 'FAIL'} {name}: "
+              f"{c['value']:.6f} (tol {c['tol']})")
+    print(f"{'PARITY OK' if ok else 'PARITY FAILED'} -> {args.out}")
+    if not ok:
+        sys.exit(1)
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -2,10 +2,11 @@
 and device-resident / host-streaming input pipelines."""
 
 from .datasets import SegmentationFolderDataset, ISICDataset, list_image_ids, split_ids
-from .pipeline import DeviceDataStore, epoch_batches
+from .pipeline import DeviceDataStore, HostPrefetchLoader, epoch_batches
 from . import augment, native, preprocess
 
 __all__ = [
     "SegmentationFolderDataset", "ISICDataset", "list_image_ids", "split_ids",
-    "DeviceDataStore", "epoch_batches", "augment", "native", "preprocess",
+    "DeviceDataStore", "HostPrefetchLoader", "epoch_batches",
+    "augment", "native", "preprocess",
 ]

@@ -73,13 +73,16 @@ class HostPrefetchLoader:
 
     def __init__(self, dataset, batch_size: int, size_hw: Tuple[int, int],
                  shuffle: bool = True, drop_last: bool = True,
-                 seed: int = 0, prefetch: int = 2):
+                 seed: int = 0, prefetch: int = 2,
+                 rng: Optional[np.random.Generator] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.size_hw = tuple(size_hw)
         self.shuffle = shuffle
         self.drop_last = drop_last
-        self.rng = np.random.default_rng(seed)
+        # A shared Generator keeps the epoch shuffle identical to the
+        # device-resident path at equal seeds (train.py --pipeline equivalence).
+        self.rng = rng if rng is not None else np.random.default_rng(seed)
         self.prefetch = prefetch
 
     def _load_batch(self, idxs):

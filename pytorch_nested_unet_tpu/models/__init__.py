@@ -83,7 +83,13 @@ def parse_arch_kwargs(name: str, raw):
     if unknown:
         raise ValueError(f"{name} has no field(s) {unknown}; "
                          f"available: {sorted(fields)}")
-    return {k: tuple(v) if isinstance(v, list) else v for k, v in kw.items()}
+
+    def _freeze(v):
+        # recursively, so nested specs like {"layers": [[1,1],[2,2]]} become
+        # hashable (flax dataclass fields require it)
+        return tuple(_freeze(x) for x in v) if isinstance(v, list) else v
+
+    return {k: _freeze(v) for k, v in kw.items()}
 
 
 register(UNet)

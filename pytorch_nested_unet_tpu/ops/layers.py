@@ -10,6 +10,7 @@ from typing import Any, Optional, Sequence, Tuple, Union
 
 import flax.linen as nn
 import jax.numpy as jnp
+from jax import lax
 
 from .init import (
     torch_bias_init,
@@ -126,8 +127,57 @@ class TorchDense(nn.Module):
         )(x)
 
 
+class _TorchBN(nn.Module):
+    """Inner BN with torch-exact statistics semantics.
+
+    Differs from flax `nn.BatchNorm` in one place: the running-variance EMA
+    uses the *unbiased* batch variance (x n/(n-1)) like torch BatchNorm2d,
+    while normalization uses the biased variance — flax updates the running
+    stat with the biased value. Param/stat names (scale/bias, mean/var) and
+    init match nn.BatchNorm so checkpoints and converters are unaffected.
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool):
+        f = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (f,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (f,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((f,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((f,), jnp.float32))
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            red = tuple(range(x.ndim - 1))
+            mean = jnp.mean(x, axis=red)
+            if self.axis_name is not None:
+                mean = lax.pmean(mean, self.axis_name)
+            var = jnp.mean(jnp.square(x - mean), axis=red)
+            if self.axis_name is not None:
+                var = lax.pmean(var, self.axis_name)
+            # element count behind each statistic: global under GSPMD (x has
+            # the logical global shape inside jit), local x replicas under an
+            # explicit axis_name (shard_map/pmap)
+            n = x.size // f
+            if self.axis_name is not None:
+                n = n * lax.psum(1, self.axis_name)
+            if not self.is_initializing():
+                m = self.momentum
+                unbiased = var * (n / max(n - 1, 1))  # torch running-var
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * unbiased
+        inv = lax.rsqrt(var + self.epsilon)
+        return (x - mean) * (inv * scale) + bias
+
+
 class BatchNorm(nn.Module):
-    """`nn.BatchNorm2d` equivalent: momentum 0.1 (flax 0.9), eps 1e-5, affine.
+    """`nn.BatchNorm2d` equivalent: momentum 0.1 (flax 0.9), eps 1e-5, affine,
+    torch-style unbiased running variance (see _TorchBN).
 
     Replaces both torch BN and the reference's vendored SyncBN
     (reference cascadePSP_model/sync_batchnorm/batchnorm.py:48-120): under pjit/GSPMD
@@ -148,13 +198,10 @@ class BatchNorm(nn.Module):
     def __call__(self, x, use_running_average: Optional[bool] = None):
         out_dtype = x.dtype if self.dtype is None else self.dtype
         ura = self.use_running_average if use_running_average is None else use_running_average
-        y = nn.BatchNorm(
-            use_running_average=ura,
+        y = _TorchBN(
             momentum=self.momentum,
             epsilon=self.epsilon,
             axis_name=self.axis_name,
-            dtype=jnp.float32,
-            param_dtype=jnp.float32,
             name="bn",
-        )(x.astype(jnp.float32))
+        )(x.astype(jnp.float32), ura)
         return y.astype(out_dtype)

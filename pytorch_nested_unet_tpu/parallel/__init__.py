@@ -7,10 +7,14 @@ and XLA inserts the ICI collectives — including the BN moment all-reduce that
 SyncBN hand-rolled (reference sync_batchnorm/batchnorm.py:90-111).
 """
 
-from .mesh import make_mesh, batch_sharding, replicated_sharding, shard_train_step
+from .mesh import (
+    batch_sharding, make_mesh, parse_mesh_spec, replicated_sharding,
+    shard_train_step,
+)
 from .multihost import (
     global_batch_slice, initialize_distributed, make_global_array,
 )
 
-__all__ = ["make_mesh", "batch_sharding", "replicated_sharding", "shard_train_step",
+__all__ = ["make_mesh", "batch_sharding", "parse_mesh_spec",
+           "replicated_sharding", "shard_train_step",
            "initialize_distributed", "global_batch_slice", "make_global_array"]

@@ -38,6 +38,36 @@ def make_mesh(axis_sizes: Optional[Sequence[int]] = None,
     return Mesh(arr, axis_names)
 
 
+def parse_mesh_spec(spec: str) -> Tuple[Tuple[str, ...], Tuple[int, ...]]:
+    """Parse a CLI mesh spec like ``"data=4,x=2"`` into (names, sizes).
+
+    Axis names are free-form but 'data' shards the batch dim and 'x'/'y' shard
+    H/W (see batch_sharding). Sizes must be positive integers.
+    """
+    names, sizes = [], []
+    for part in str(spec).split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if "=" not in part:
+            raise ValueError(f"bad mesh axis {part!r} (want name=size, e.g. 'data=4,x=2')")
+        name, _, size = part.partition("=")
+        name = name.strip()
+        try:
+            size = int(size)
+        except ValueError:
+            raise ValueError(f"bad mesh axis size in {part!r}") from None
+        if size < 1:
+            raise ValueError(f"mesh axis {name!r} must have size >= 1, got {size}")
+        if name in names:
+            raise ValueError(f"duplicate mesh axis {name!r}")
+        names.append(name)
+        sizes.append(size)
+    if not names:
+        raise ValueError("empty mesh spec")
+    return tuple(names), tuple(sizes)
+
+
 def batch_sharding(mesh: Mesh, spatial: bool = False) -> NamedSharding:
     """Sharding for (B, H, W, C) batches: B over 'data', optionally H/W over
     'x'/'y' if those axes exist in the mesh."""
@@ -60,12 +90,24 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 def shard_train_step(step_fn, mesh: Mesh, donate_state: bool = True,
                      spatial: bool = False):
     """Wrap an un-jitted step(state, images, masks, key) with pjit shardings:
-    state replicated, batch sharded over 'data' (+spatial), outputs replicated."""
+    state replicated, batch sharded over 'data' (+spatial H/W), outputs
+    replicated.
+
+    The batch sharding is applied via with_sharding_constraint *inside* the
+    jitted program rather than in_shardings, so callers may pass batches with
+    any placement — fresh host arrays or gathers from a replicated
+    DeviceDataStore — and XLA inserts the (local-slice) resharding."""
     rep = replicated_sharding(mesh)
     bat = batch_sharding(mesh, spatial)
+
+    def wrapped(state, images, masks, key):
+        images = jax.lax.with_sharding_constraint(images, bat)
+        masks = jax.lax.with_sharding_constraint(masks, bat)
+        return step_fn(state, images, masks, key)
+
     return jax.jit(
-        step_fn,
-        in_shardings=(rep, bat, bat, rep),
+        wrapped,
+        in_shardings=(rep, None, None, rep),
         out_shardings=(rep, rep),
         donate_argnums=(0,) if donate_state else (),
     )

@@ -15,7 +15,8 @@ from .driver import (
     process_high_res_im, process_im_single_pass, resize_max_side, safe_forward,
 )
 from .refiner import (
-    Refiner, convert_torch_state_dict, export_torch_style_state_dict,
+    Refiner, WeightsUnavailable, convert_torch_state_dict,
+    export_torch_style_state_dict, fetch_weights,
 )
 
 __all__ = [
@@ -24,4 +25,5 @@ __all__ = [
     "process_high_res_im", "process_im_single_pass", "resize_max_side",
     "safe_forward",
     "Refiner", "convert_torch_state_dict", "export_torch_style_state_dict",
+    "fetch_weights", "WeightsUnavailable",
 ]

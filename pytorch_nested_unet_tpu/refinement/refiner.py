@@ -26,6 +26,59 @@ from .pspnet import RefinementModule
 _IM_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 _IM_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
+# The released CascadePSP weights (reference main.py:29-31 fetches Google
+# Drive file id 103nLN1JQCs2yASkna0HqfioYZO7MA_J9). Overridable for mirrors /
+# hermetic tests (file:// URLs work).
+DEFAULT_WEIGHTS_URL = os.environ.get(
+    "SEGMENTATION_REFINEMENT_URL",
+    "https://docs.google.com/uc?export=download&confirm=t"
+    "&id=103nLN1JQCs2yASkna0HqfioYZO7MA_J9")
+
+
+class WeightsUnavailable(OSError):
+    """Raised when the refinement weights can't be fetched (offline, bad URL,
+    checksum mismatch) — callers may fall back or surface the message."""
+
+
+def fetch_weights(url: str = DEFAULT_WEIGHTS_URL,
+                  model_folder: Optional[str] = None,
+                  sha256: Optional[str] = None,
+                  filename: str = "model") -> str:
+    """Download-and-cache the released refinement weights (the reference's
+    auto-download, main.py:22-31 + download.py:3-30): cached in
+    ~/.segmentation-refinement (the reference's cache dir), optional sha256
+    verification, atomic write. Returns the cached path; a cache hit never
+    touches the network, so offline use works after one fetch."""
+    import hashlib
+    import shutil
+    import urllib.request
+
+    folder = model_folder or os.path.expanduser("~/.segmentation-refinement")
+    os.makedirs(folder, exist_ok=True)
+    path = os.path.join(folder, filename)
+    if not os.path.exists(path):
+        tmp = path + ".part"
+        try:
+            with urllib.request.urlopen(url, timeout=60) as r, open(tmp, "wb") as f:
+                shutil.copyfileobj(r, f)
+            os.replace(tmp, path)
+        except Exception as e:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+            raise WeightsUnavailable(
+                f"could not fetch refinement weights from {url}: {e}; "
+                f"download the released CascadePSP 'model' file manually into "
+                f"{path} or pass model_path=") from e
+    if sha256:
+        with open(path, "rb") as f:
+            digest = hashlib.sha256(f.read()).hexdigest()
+        if digest != sha256:
+            os.remove(path)
+            raise WeightsUnavailable(
+                f"refinement weights checksum mismatch at {path}: "
+                f"got {digest}, want {sha256} (corrupt download removed)")
+    return path
+
 
 def _split_torch_key(key: str):
     """Map a released-checkpoint torch key (module. prefix already stripped)
@@ -166,10 +219,16 @@ class Refiner:
     """CascadePSP refinement front-end (reference main.py:13-81)."""
 
     def __init__(self, model_path: Optional[str] = None, variables=None,
-                 dtype=None, mesh=None, tile_batch: Optional[int] = None):
+                 dtype=None, mesh=None, tile_batch: Optional[int] = None,
+                 weights_url: str = DEFAULT_WEIGHTS_URL,
+                 model_folder: Optional[str] = None,
+                 weights_sha256: Optional[str] = None):
         """Load weights from `model_path` (a torch .pth state_dict — the
         released CascadePSP 'model' file — or an .npz of the same keys), or
         take prebuilt flax `variables`, or random-init when neither is given.
+        `model_path='auto'` reproduces the reference's download-and-cache
+        behavior (main.py:22-31): fetch `weights_url` into `model_folder`
+        (default ~/.segmentation-refinement), optionally sha256-verified.
 
         mesh/tile_batch configure the full (non-fast) pipeline's local pass:
         tiles batched `tile_batch` at a time, and with a mesh, sharded over
@@ -177,9 +236,15 @@ class Refiner:
         self.model = RefinementModule(dtype=dtype)
         self.mesh = mesh
         self.tile_batch = tile_batch
+        if model_path == "auto" and variables is None:
+            model_path = fetch_weights(weights_url, model_folder, weights_sha256)
         if variables is not None:
             self.variables = variables
-        elif model_path is not None and os.path.exists(model_path):
+        elif model_path is not None:
+            if not os.path.exists(model_path):
+                raise FileNotFoundError(
+                    f"refinement weights not found: {model_path} "
+                    f"(pass model_path='auto' to download-and-cache)")
             if model_path.endswith(".npz"):
                 sd = dict(np.load(model_path))
             else:

@@ -18,6 +18,7 @@ schedule can set it between epochs without re-jitting the train step.
 import math
 from typing import Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import optax
 
@@ -115,6 +116,25 @@ def nonfinite_count(opt_state):
             return int(st.total_notfinite)
         st = getattr(st, "inner_opt_state", getattr(st, "inner_state", None))
     return None
+
+
+@jax.jit
+def _tree_all_finite(tree):
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.all(jnp.stack(
+        [jnp.all(jnp.isfinite(x.astype(jnp.float32))) for x in leaves]))
+
+
+def params_all_finite(params) -> bool:
+    """One fused on-device reduction over every param leaf.
+
+    Guards the failure-detection path: optax.apply_if_finite *applies* the
+    non-finite update once its consecutive-error tolerance is exhausted, which
+    can poison params with a finite-looking epoch loss (the NaN step losses are
+    excluded from the meters). Checking params directly before checkpointing is
+    the airtight detector.
+    """
+    return bool(_tree_all_finite(params))
 
 
 class LRSchedule:

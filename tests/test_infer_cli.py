@@ -55,11 +55,11 @@ def test_infer_threshold_and_full_res(capsule):
                     "--output_dir", str(capsule / "models"),
                     "--save_dir", str(capsule / "out_hard"), "-b", "4",
                     "--threshold", "0.5", "--full_res", "true"])
-    m = cv2.imread(str(capsule / "out_hard" / "serve_run" / "0" / "im0.jpg"),
+    m = cv2.imread(str(capsule / "out_hard" / "serve_run" / "0" / "im0.png"),
                    cv2.IMREAD_GRAYSCALE)
     assert m.shape == (48, 40)  # original resolution restored
-    # hard masks are 0/255 (JPEG ringing tolerance)
-    assert ((m < 32) | (m > 223)).mean() > 0.95
+    # default .png output is lossless: thresholded masks are TRULY binary
+    assert np.isin(m, (0, 255)).all()
 
 
 def test_infer_missing_images_exit(capsule):

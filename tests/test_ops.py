@@ -108,17 +108,19 @@ def test_batchnorm_matches_torch_train_and_eval(rng):
         variables = {"params": variables.get("params", {}), "batch_stats": mutated["batch_stats"]}
         np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-4, rtol=1e-3)
 
-    # running stats: torch uses unbiased var for the running update; at n=144
-    # the bias factor is n/(n-1) ≈ 1.007 — assert within that tolerance.
+    # running stats: torch-EXACT semantics — the running-var EMA applies the
+    # unbiased n/(n-1) correction (torch BatchNorm2d), unlike flax nn.BatchNorm
+    # which feeds the biased variance into the EMA. Pinned tight so a
+    # regression to flax semantics (factor 1.007 at n=144) fails.
     np.testing.assert_allclose(
         np.asarray(variables["batch_stats"]["bn"]["mean"]),
-        tbn.running_mean.detach().numpy(), atol=1e-4, rtol=1e-3)
+        tbn.running_mean.detach().numpy(), atol=1e-6, rtol=1e-5)
     np.testing.assert_allclose(
         np.asarray(variables["batch_stats"]["bn"]["var"]),
-        tbn.running_var.detach().numpy(), rtol=1.5e-2)
+        tbn.running_var.detach().numpy(), atol=1e-6, rtol=1e-5)
 
     # eval mode
     tbn.eval()
     ref = _nhwc(tbn(_nchw(x1)))
     ours = layer.apply(variables, jnp.asarray(x1), use_running_average=True)
-    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-3, rtol=1.5e-2)
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5, rtol=1e-4)

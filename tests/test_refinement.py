@@ -176,3 +176,44 @@ def test_tiled_local_pass_batched_and_mesh_parallel_match_sequential():
                                              mesh=mesh))
     np.testing.assert_allclose(batched, seq, atol=1e-5)
     np.testing.assert_allclose(sharded, seq, atol=1e-5)
+
+
+def test_fetch_weights_file_url_cache_and_sha(tmp_path):
+    """Weight auto-fetch (reference main.py:22-31 + download.py:3-30): URL ->
+    ~/.segmentation-refinement-style cache, sha256 verification, graceful
+    failure offline. file:// URL keeps the test hermetic."""
+    import hashlib
+
+    from pytorch_nested_unet_tpu.refinement import (
+        WeightsUnavailable, fetch_weights,
+    )
+
+    src = tmp_path / "weights.bin"
+    src.write_bytes(b"not-really-weights")
+    folder = tmp_path / "cache"
+    good = hashlib.sha256(b"not-really-weights").hexdigest()
+
+    p = fetch_weights(src.as_uri(), str(folder), sha256=good)
+    assert p == str(folder / "model")
+    assert open(p, "rb").read() == b"not-really-weights"
+
+    src.unlink()  # cache hit must not touch the source again
+    assert fetch_weights(src.as_uri(), str(folder), sha256=good) == p
+
+    # corrupt cache + checksum -> removed and raised
+    (folder / "model").write_bytes(b"corrupted")
+    with pytest.raises(WeightsUnavailable):
+        fetch_weights(src.as_uri(), str(folder), sha256=good)
+    assert not (folder / "model").exists()
+
+    # unreachable URL -> WeightsUnavailable, no partial file left
+    with pytest.raises(WeightsUnavailable, match="could not fetch"):
+        fetch_weights((tmp_path / "nope.bin").as_uri(), str(tmp_path / "c2"))
+    assert not (tmp_path / "c2" / "model.part").exists()
+
+
+def test_refiner_missing_weights_path_raises():
+    """An explicit-but-absent model_path must fail loudly, not silently
+    random-init (that would serve garbage refinements)."""
+    with pytest.raises(FileNotFoundError, match="auto"):
+        Refiner(model_path="/nonexistent/cascadepsp.pth")

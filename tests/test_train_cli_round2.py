@@ -1,0 +1,206 @@
+"""Round-2 CLI wiring: --mesh/--spatial_partition, --pipeline, orbax backend,
+failure-detection pass-through abort (VERDICT.md round-1 items 2, 4, 8 and the
+advisor's --skip_nonfinite hole)."""
+
+import os
+
+import cv2
+import numpy as np
+import pandas as pd
+import pytest
+
+import jax
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli2")
+    rng = np.random.default_rng(7)
+    img_dir = root / "inputs" / "synth" / "images"
+    mask_dir = root / "inputs" / "synth" / "masks" / "0"
+    img_dir.mkdir(parents=True)
+    mask_dir.mkdir(parents=True)
+    for i in range(14):
+        img = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+        yy, xx = np.mgrid[0:32, 0:32]
+        cy, cx = rng.integers(10, 22, 2)
+        mask = (((yy - cy) ** 2 + (xx - cx) ** 2) < 25).astype(np.uint8) * 255
+        img[mask > 0] = 220
+        cv2.imwrite(str(img_dir / f"im{i:02d}.png"), img)
+        cv2.imwrite(str(mask_dir / f"im{i:02d}.png"), mask)
+    return root
+
+
+def _args(root, extra):
+    return ([f"--data_dir={root / 'inputs'}", f"--output_dir={root / 'models'}",
+             "--dataset=synth", "--input_w=32", "--input_h=32",
+             "--epochs=2", "--batch_size=8", "--precision=fp32",
+             "--optimizer=Adam"] + extra)
+
+
+def _log(root, name):
+    return pd.read_csv(root / "models" / name / "log.csv")
+
+
+def test_spatial_partition_cli_partitions_h_and_matches_single_device(
+        synth_root, monkeypatch):
+    """--spatial_partition through train.py: (a) the executed step's input
+    sharding actually partitions H over the mesh 'x' axis (the round-1 flag was
+    a silent no-op, VERDICT.md weak #1), and (b) the sharded run reproduces the
+    single-device numerics (test_parallel.py equality, driven via the CLI)."""
+    import train as train_cli
+    from pytorch_nested_unet_tpu.parallel import mesh as mesh_mod
+
+    calls = []
+    real = mesh_mod.batch_sharding
+
+    def recording(mesh, spatial=False):
+        s = real(mesh, spatial)
+        calls.append((dict(zip(mesh.axis_names, mesh.devices.shape)), spatial, s.spec))
+        return s
+
+    monkeypatch.setattr(mesh_mod, "batch_sharding", recording)
+
+    train_cli.main(_args(synth_root, ["--arch=UNet", "--name=spatial_run",
+                                      "--spatial_partition=true"]))
+    assert calls, "spatial run never built a batch sharding"
+    ax, spatial, spec = calls[-1]
+    assert spatial is True
+    assert ax == {"data": len(jax.devices()) // 2, "x": 2}
+    assert spec[0] == "data" and spec[1] == "x"  # B over data, H over x
+
+    # single-device numerics through the same per-step pjit path. The 8-way
+    # spatial partitioning reassociates conv reductions, so updates drift at
+    # float-epsilon scale and compound over an epoch — tolerance covers that
+    # (the no-op regression is caught by the sharding-spec assert above, which
+    # bitwise-equal logs could not distinguish anyway).
+    train_cli.main(_args(synth_root, ["--arch=UNet", "--name=single_run",
+                                      "--mesh=data=1"]))
+    a, b = _log(synth_root, "spatial_run"), _log(synth_root, "single_run")
+    for col in ("loss", "val_loss"):
+        np.testing.assert_allclose(a[col], b[col], atol=3e-3, rtol=3e-3,
+                                   err_msg=col)
+    for col in ("iou", "val_iou"):  # thresholded metric: drift amplifies
+        np.testing.assert_allclose(a[col], b[col], atol=3e-2, err_msg=col)
+
+
+def test_mesh_flag_validation(synth_root):
+    import train as train_cli
+
+    with pytest.raises(SystemExit, match="devices"):
+        train_cli.main(_args(synth_root, ["--arch=UNet", "--mesh=data=3,x=9"]))
+    with pytest.raises(SystemExit, match="--mesh"):
+        train_cli.main(_args(synth_root, ["--arch=UNet", "--mesh=bogus"]))
+    # H=32 not divisible by x=3
+    with pytest.raises(SystemExit, match="not divisible"):
+        train_cli.main(_args(synth_root, ["--arch=UNet", "--mesh=data=2,x=3"]))
+    # batch 8 not divisible by data=3
+    with pytest.raises(SystemExit, match="batch_size"):
+        train_cli.main(_args(synth_root, ["--arch=UNet", "--mesh=data=3"]))
+
+
+def test_host_loader_batches_match_device_store(synth_root):
+    """The host prefetch loader must deliver bitwise the same uint8 batches,
+    in the same epoch order, as the device-resident path at an equal seed —
+    the data-level guarantee behind the CLI equivalence below."""
+    from pytorch_nested_unet_tpu.data import (
+        DeviceDataStore, HostPrefetchLoader, SegmentationFolderDataset,
+        epoch_batches, list_image_ids, split_ids,
+    )
+
+    base = synth_root / "inputs" / "synth"
+    ids = list_image_ids(str(base / "images"), ".png")
+    tr, _ = split_ids(ids, 0.2, 41)
+    ds = SegmentationFolderDataset(tr, str(base / "images"),
+                                   str(base / "masks"), ".png", ".png", 1)
+    imgs, msks, _ = ds.load_all((32, 32))
+    store = DeviceDataStore(imgs, msks)
+
+    rng_a = np.random.default_rng(123)
+    rng_b = np.random.default_rng(123)
+    loader = HostPrefetchLoader(ds, 4, (32, 32), shuffle=True, drop_last=True,
+                                rng=rng_b)
+    for _epoch in range(2):
+        dev = [(np.asarray(imgs[idx]), np.asarray(msks[idx]), valid)
+               for idx, valid in epoch_batches(len(store), 4, rng_a,
+                                               shuffle=True, drop_last=True)]
+        host = list(loader)
+        assert len(dev) == len(host)
+        for (di, dm, dv), (hi, hm, hv) in zip(dev, host):
+            assert dv == hv
+            np.testing.assert_array_equal(di, hi)
+            np.testing.assert_array_equal(dm, hm)
+
+
+def test_pipeline_host_matches_device(synth_root):
+    """--pipeline host (HostPrefetchLoader, VERDICT.md weak #3: previously
+    unreachable dead weight) trains with metrics matching the device-resident
+    path at equal seeds. Data/order are bitwise-identical (test above); the
+    compiled programs differ (epoch-scan vs per-step jit), so metrics agree to
+    accumulated-float tolerance, not bitwise."""
+    import train as train_cli
+
+    train_cli.main(_args(synth_root, ["--arch=UNet", "--name=pipe_dev",
+                                      "--augment=none"]))
+    train_cli.main(_args(synth_root, ["--arch=UNet", "--name=pipe_host",
+                                      "--augment=none", "--pipeline=host"]))
+    a, b = _log(synth_root, "pipe_dev"), _log(synth_root, "pipe_host")
+    for col in ("loss", "val_loss"):
+        np.testing.assert_allclose(a[col], b[col], atol=6e-3, rtol=6e-3,
+                                   err_msg=col)
+    for col in ("iou", "val_iou"):
+        np.testing.assert_allclose(a[col], b[col], atol=3e-2, err_msg=col)
+
+
+def test_pipeline_auto_smoke(synth_root, capsys):
+    import train as train_cli
+
+    train_cli.main(_args(synth_root, ["--arch=UNet", "--name=pipe_auto",
+                                      "--epochs=1", "--pipeline=auto"]))
+    out = capsys.readouterr().out
+    assert "pipeline auto ->" in out
+    assert len(_log(synth_root, "pipe_auto")) == 1
+
+
+def test_orbax_backend_resume(synth_root):
+    """--checkpoint_backend orbax: full resume cycle through train.py
+    (VERDICT.md round-1 item 8: reachable or gone)."""
+    import train as train_cli
+
+    train_cli.main(_args(synth_root, ["--arch=UNet", "--name=orbax_run",
+                                      "--checkpoint_backend=orbax"]))
+    run = synth_root / "models" / "orbax_run"
+    assert (run / "orbax_last").is_dir()
+    assert not (run / "last.msgpack").exists()
+
+    train_cli.main(_args(synth_root, ["--arch=UNet", "--name=orbax_run",
+                                      "--checkpoint_backend=orbax",
+                                      "--epochs=4", "--resume=true"]))
+    assert len(_log(synth_root, "orbax_run")) == 4
+
+
+def test_skip_nonfinite_pass_through_aborts_without_saving(synth_root):
+    """The advisor's hole: once apply_if_finite's tolerance is exhausted the
+    bad update is APPLIED; the step losses can all look finite (they were
+    computed from pre-update params), so the epoch-loss abort never fires and
+    poisoned params used to reach last.msgpack. The params-finiteness guard
+    must abort before any save."""
+    import train as train_cli
+
+    run = synth_root / "models" / "nan_run"
+    with pytest.raises(SystemExit, match="non-finite parameters"):
+        # lr=inf: every update is non-finite; tolerance 1 lets the 2nd
+        # consecutive one through -> params inf, losses all finite
+        train_cli.main(_args(synth_root, [
+            "--arch=UNet", "--name=nan_run", "--optimizer=SGD", "--lr=inf",
+            "--scheduler=ConstantLR", "--skip_nonfinite=1"]))
+    assert not (run / "last.msgpack").exists()
+    assert not (run / "model.msgpack").exists()
+
+
+def test_arch_kwargs_nested_lists_freeze():
+    from pytorch_nested_unet_tpu import models
+
+    kw = models.parse_arch_kwargs("DeepLab", '{"layers": [[1, 1], [2, 2]]}')
+    assert kw == {"layers": ((1, 1), (2, 2))}
+    hash(kw["layers"])  # hashable for flax dataclass fields

@@ -27,10 +27,10 @@ import pandas as pd
 from pytorch_nested_unet_tpu import models
 from pytorch_nested_unet_tpu.losses import LOSS_NAMES
 from pytorch_nested_unet_tpu.data import (
-    DeviceDataStore, ISICDataset, SegmentationFolderDataset, epoch_batches,
-    list_image_ids, split_ids,
+    DeviceDataStore, HostPrefetchLoader, ISICDataset, SegmentationFolderDataset,
+    epoch_batches, list_image_ids, split_ids,
 )
-from pytorch_nested_unet_tpu.parallel import make_mesh
+from pytorch_nested_unet_tpu.parallel import make_mesh, parse_mesh_spec
 from pytorch_nested_unet_tpu.training import (
     LRSchedule, TrainState, build_optimizer, checkpoint, make_eval_step,
     make_train_step, set_learning_rate,
@@ -38,7 +38,9 @@ from pytorch_nested_unet_tpu.training import (
 from pytorch_nested_unet_tpu.training.loop import (
     make_epoch_evaluator, make_epoch_runner,
 )
-from pytorch_nested_unet_tpu.training.optim import get_learning_rate, nonfinite_count
+from pytorch_nested_unet_tpu.training.optim import (
+    get_learning_rate, nonfinite_count, params_all_finite,
+)
 from pytorch_nested_unet_tpu.utils import AverageMeter, count_params, save_config, str2bool
 from pytorch_nested_unet_tpu.utils.backend import configure_backend
 
@@ -119,7 +121,28 @@ def parse_args(argv=None):
                              'into DIR (view with tensorboard). The reference '
                              'has no profiling surface at all (SURVEY.md §5).')
     parser.add_argument('--spatial_partition', default=False, type=str2bool,
-                        help='also shard H/W over the mesh (halo via XLA SPMD)')
+                        help='also shard H/W over the mesh (halo via XLA SPMD). '
+                             'Without --mesh, devices are laid out as '
+                             "('data', 'x') with 2-way H partitioning; errors "
+                             'if the device count cannot factor')
+    parser.add_argument('--mesh', default=None, metavar='SPEC',
+                        help="explicit mesh layout, e.g. 'data=4,x=2' "
+                             "(axes: 'data' shards batch, 'x'/'y' shard H/W). "
+                             'Implies --spatial_partition when x/y axes are '
+                             'present. Axis sizes must multiply to at most the '
+                             'device count (extra devices stay idle)')
+    parser.add_argument('--pipeline', default='device',
+                        choices=['device', 'host', 'auto'],
+                        help="input pipeline: 'device' keeps the whole uint8 "
+                             "dataset HBM-resident (fastest; DSB2018-scale), "
+                             "'host' streams batches through a prefetching "
+                             "background thread (datasets larger than HBM), "
+                             "'auto' picks by dataset size vs device memory")
+    parser.add_argument('--checkpoint_backend', default='msgpack',
+                        choices=['msgpack', 'orbax'],
+                        help="resume-state format: single-file msgpack (the "
+                             "model.pth analogue) or orbax (sharding-aware, "
+                             "for multi-host runs)")
     parser.add_argument('--skip_nonfinite', default=0, type=int, metavar='N',
                         help='failure detection: skip parameter updates whose '
                              'gradients contain NaN/inf, tolerating up to N '
@@ -135,6 +158,12 @@ def parse_args(argv=None):
                         help="jax platform to run on ('cpu' forces host CPU — "
                              "hermetic tests/debugging; 'default' keeps jax's "
                              "pick, i.e. the TPU when one is attached)")
+    parser.add_argument('--pretrained_backbone', default=None, metavar='PTH',
+                        help='torchvision-format ResNet .pth poured into every '
+                             'ResNet trunk of the model (the reference '
+                             'ImageNet-init surgery, cascadePSP extractors.py:12-33); '
+                             'valid for the ResNet-backbone archs and the '
+                             'PSP-hybrid refinement trunks')
     parser.add_argument('--arch_kwargs', default=None, metavar='JSON',
                         help='extra keyword arguments for the model '
                              'constructor as a JSON object, e.g. '
@@ -186,6 +215,79 @@ def build_datasets(config):
     return mk(train_ids, img_dir, mask_dir), mk(val_ids, img_dir, mask_dir)
 
 
+def _build_mesh(config):
+    """Resolve (mesh, spatial) from --mesh / --spatial_partition.
+
+    Explicit parallelism flags fail loudly when the device count, batch size,
+    or input H/W cannot honor the requested layout — a silently ignored flag is
+    worse than an error. With neither flag, multi-device runs get a 1-D 'data'
+    mesh when the batch divides evenly (warning + single-device otherwise).
+    """
+    n_dev = len(jax.devices())
+    spatial = bool(config['spatial_partition'])
+    if config.get('mesh'):
+        try:
+            names, sizes = parse_mesh_spec(config['mesh'])
+        except ValueError as e:
+            sys.exit(f"--mesh: {e}")
+        total = int(np.prod(sizes))
+        if total > n_dev:
+            sys.exit(f"--mesh '{config['mesh']}' needs {total} devices, "
+                     f"have {n_dev}")
+        mesh = make_mesh(sizes, names, devices=jax.devices()[:total])
+        has_spatial_axes = bool({'x', 'y'} & set(names))
+        if spatial and not has_spatial_axes:
+            sys.exit("--spatial_partition with --mesh requires an 'x' or 'y' "
+                     "axis in the spec")
+        spatial = spatial or has_spatial_axes
+    elif spatial:
+        if n_dev < 2 or n_dev % 2:
+            sys.exit(f"--spatial_partition needs an even device count >= 2 to "
+                     f"factor into ('data', 'x'); have {n_dev} device(s) — use "
+                     f"--mesh to lay the axes out explicitly")
+        mesh = make_mesh((n_dev // 2, 2), ('data', 'x'))
+    elif n_dev > 1:
+        if config['batch_size'] % n_dev:
+            print(f"warning: batch_size {config['batch_size']} not divisible by "
+                  f"{n_dev} devices; running single-device")
+            return None, False
+        mesh = make_mesh()
+    else:
+        return None, False
+
+    ax = dict(zip(mesh.axis_names, mesh.devices.shape))
+    if config['batch_size'] % ax.get('data', 1):
+        sys.exit(f"batch_size {config['batch_size']} not divisible by the "
+                 f"mesh 'data' axis size {ax.get('data', 1)}")
+    if spatial and (config['input_h'] % ax.get('x', 1)
+                    or config['input_w'] % ax.get('y', 1)):
+        sys.exit(f"input {config['input_h']}x{config['input_w']} not divisible "
+                 f"by the spatial mesh axes {ax}")
+    print(f"mesh: {ax}" + (" (spatial H/W partitioning on)" if spatial else ""))
+    return mesh, spatial
+
+
+def _resolve_pipeline(config, n_images):
+    """'auto' pipeline policy: stream from host when the uint8 dataset would
+    occupy more than a quarter of device memory, else keep it HBM-resident."""
+    mode = config.get('pipeline', 'device')
+    if mode != 'auto':
+        return mode
+    bytes_per_img = (config['input_h'] * config['input_w']
+                     * (config['input_channels'] + config['num_classes']))
+    need = n_images * bytes_per_img
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        limit = stats.get('bytes_limit')
+    except Exception:
+        limit = None
+    mode = 'host' if limit and need > limit // 4 else 'device'
+    print(f"pipeline auto -> {mode} "
+          f"(dataset {need / 1e6:.1f} MB, device limit "
+          f"{'unknown' if not limit else f'{limit / 1e6:.0f} MB'})")
+    return mode
+
+
 def main(argv=None):
     config = parse_args(argv)
     configure_backend(config.get('platform', 'default'))
@@ -221,15 +323,7 @@ def main(argv=None):
     train_ds, val_ds = build_datasets(config)
     print(f"train {len(train_ds)} / val {len(val_ds)} images")
 
-    n_dev = len(jax.devices())
-    mesh = None
-    if n_dev > 1:
-        if config['batch_size'] % n_dev == 0:
-            mesh = make_mesh()
-            print(f"mesh: {n_dev} devices over axis 'data'")
-        else:
-            print(f"warning: batch_size {config['batch_size']} not divisible by "
-                  f"{n_dev} devices; running single-device")
+    mesh, spatial = _build_mesh(config)
     if config.get('fused_bn') and mesh is None and jax.default_backend() == 'tpu':
         # optional single-chip Pallas BN (ops/fused_bn.py). Off by default:
         # measured on v5e at the reference protocol XLA's native BN handling
@@ -240,14 +334,37 @@ def main(argv=None):
         enable_fused_bn(True, mode=config.get('fused_bn_mode', 'stats'))
         print('fused Pallas BN: enabled (single-chip TPU)')
 
-    tr_images, tr_masks, _ = train_ds.load_all(size_hw)
-    va_images, va_masks, _ = val_ds.load_all(size_hw)
-    train_store = DeviceDataStore(tr_images, tr_masks, mesh)
-    val_store = DeviceDataStore(va_images, va_masks, mesh)
+    pipeline = _resolve_pipeline(config, len(train_ds) + len(val_ds))
+    host_pipeline = pipeline == 'host'
+    train_store = val_store = None
+    if not host_pipeline:
+        tr_images, tr_masks, _ = train_ds.load_all(size_hw)
+        va_images, va_masks, _ = val_ds.load_all(size_hw)
+        train_store = DeviceDataStore(tr_images, tr_masks, mesh)
+        val_store = DeviceDataStore(va_images, va_masks, mesh)
+    if len(train_ds) < config['batch_size']:
+        sys.exit(f"batch_size {config['batch_size']} exceeds the "
+                 f"{len(train_ds)}-image training set (drop_last)")
 
     sample = jnp.zeros((2, *size_hw, config['input_channels']), jnp.float32)
     variables = model.init(jax.random.PRNGKey(config['seed']), sample, train=True)
     print(f"arch {config['arch']}: {count_params(variables['params']):,} params")
+
+    if config.get('pretrained_backbone'):
+        from pytorch_nested_unet_tpu.utils.pretrained import (
+            find_trunk_scopes, graft_trunk, load_pretrained_backbone,
+        )
+        scopes = find_trunk_scopes(variables['params'])
+        if not scopes:
+            sys.exit(f"--pretrained_backbone: arch {config['arch']} has no "
+                     f"ResNet trunk (encoder/feats scope) to initialize")
+        trunk = load_pretrained_backbone(config['pretrained_backbone'])
+        for scope in scopes:
+            try:
+                variables, n = graft_trunk(variables, trunk, scope)
+            except (KeyError, ValueError) as e:
+                sys.exit(f"--pretrained_backbone: {e}")
+            print(f"pretrained backbone: {n} tensors -> {'/'.join(scope)}")
 
     tx = build_optimizer(config['optimizer'], config['lr'], config['momentum'],
                          config['weight_decay'], config['nesterov'],
@@ -260,9 +377,9 @@ def main(argv=None):
                        [int(e) for e in str(config['milestones']).split(',')],
                        config['gamma'])
 
-    # Single-device: run the whole epoch as ONE dispatched lax.scan (the
-    # dataset is device-resident). Under a mesh, keep per-step pjit dispatch.
-    epoch_scan = mesh is None
+    # Single-device + device-resident data: run the whole epoch as ONE
+    # dispatched lax.scan. Under a mesh or the host pipeline, per-step dispatch.
+    epoch_scan = mesh is None and not host_pipeline
     if epoch_scan:
         run_epoch = make_epoch_runner(model, tx, config['loss'],
                                       config['deep_supervision'],
@@ -273,13 +390,20 @@ def main(argv=None):
         train_step = make_train_step(model, tx, config['loss'],
                                      config['deep_supervision'],
                                      augment=config['augment'] == 'full', mesh=mesh,
-                                     spatial=config['spatial_partition'])
+                                     spatial=spatial)
         eval_step = make_eval_step(model, config['loss'], config['deep_supervision'])
+
+    if config['checkpoint_backend'] == 'orbax':
+        save_state_fn = checkpoint.save_training_state_orbax
+        load_state_fn = checkpoint.load_training_state_orbax
+    else:
+        save_state_fn = checkpoint.save_training_state
+        load_state_fn = checkpoint.load_training_state
 
     start_epoch, best_iou, trigger = 0, 0.0, 0
     if config['resume']:
         try:
-            restored = checkpoint.load_training_state(model_dir, state)
+            restored = load_state_fn(model_dir, state)
         except (KeyError, ValueError) as e:
             # flax restores into the current state's structure; a different
             # optimizer stack changes it (e.g. resuming with --skip_nonfinite
@@ -306,6 +430,15 @@ def main(argv=None):
 
     data_rng = np.random.default_rng(config['seed'])
     key = jax.random.PRNGKey(config['seed'] + 1)
+
+    train_loader = val_loader = None
+    if host_pipeline:
+        # The shared data_rng keeps the epoch shuffle identical to the
+        # device-resident path at equal seeds (val iteration consumes no rng).
+        train_loader = HostPrefetchLoader(train_ds, config['batch_size'], size_hw,
+                                          shuffle=True, drop_last=True, rng=data_rng)
+        val_loader = HostPrefetchLoader(val_ds, config['batch_size'], size_hw,
+                                        shuffle=False, drop_last=False, rng=data_rng)
 
     # Graceful preemption (TPU pods are preemptible in production): finish the
     # current epoch, persist the full resume state, exit 0. Re-running with
@@ -366,12 +499,19 @@ def main(argv=None):
                 _update(tr_meters, {k: metrics[k][s] for k in tr_meters},
                         config['batch_size'])
         else:
+            if host_pipeline:
+                batch_iter = ((jnp.asarray(imgs), jnp.asarray(msks), valid)
+                              for imgs, msks, valid in train_loader)
+            else:
+                batch_iter = (
+                    (jnp.take(train_store.images, jnp.asarray(idx), axis=0),
+                     jnp.take(train_store.masks, jnp.asarray(idx), axis=0), valid)
+                    for idx, valid in epoch_batches(
+                        len(train_store), config['batch_size'], data_rng,
+                        shuffle=True, drop_last=True))
             pending = []
-            for idx, valid in epoch_batches(len(train_store), config['batch_size'],
-                                            data_rng, shuffle=True, drop_last=True):
+            for imgs, msks, valid in batch_iter:
                 key, sub = jax.random.split(key)
-                imgs = jnp.take(train_store.images, jnp.asarray(idx), axis=0)
-                msks = jnp.take(train_store.masks, jnp.asarray(idx), axis=0)
                 state, metrics = train_step(state, imgs, msks, sub)
                 pending.append((metrics, valid))
             for metrics, valid in pending:
@@ -398,6 +538,19 @@ def main(argv=None):
                   f"loss this epoch (updates skipped on device, excluded from "
                   f"metrics); {nonfinite_count(state.opt_state)} update(s) "
                   f"skipped since start")
+        # apply_if_finite *applies* the bad update once its consecutive-error
+        # tolerance is exhausted; the epoch loss average can stay finite (the
+        # poisoned steps' losses are excluded above, and a final-step
+        # divergence has no subsequent loss at all). Check the params
+        # themselves — one fused on-device reduction — before any checkpoint
+        # write can clobber the last good state.
+        if guard and not params_all_finite(state.params):
+            skipped = nonfinite_count(state.opt_state)
+            sys.exit(f"non-finite parameters at epoch {epoch}: the "
+                     f"--skip_nonfinite tolerance was exhausted ({skipped} "
+                     f"update(s) skipped) and a bad update was applied; "
+                     f"aborting without saving (resume from the last good "
+                     f"checkpoint with --resume true)")
 
         # ---- validate ----
         va_meters = {'loss': AverageMeter(), 'iou': AverageMeter(),
@@ -417,12 +570,20 @@ def main(argv=None):
                 for k in va_meters:
                     va_meters[k].update(float(metrics[k][s]), valid)
         else:
+            if host_pipeline:
+                batch_iter = ((jnp.asarray(imgs), jnp.asarray(msks), valid)
+                              for imgs, msks, valid in val_loader)
+            else:
+                batch_iter = (
+                    (jnp.take(val_store.images, jnp.asarray(idx), axis=0),
+                     jnp.take(val_store.masks, jnp.asarray(idx), axis=0), valid)
+                    for idx, valid in epoch_batches(
+                        len(val_store), config['batch_size'], data_rng,
+                        shuffle=False, drop_last=False))
             pending = []
-            for idx, valid in epoch_batches(len(val_store), config['batch_size'],
-                                            data_rng, shuffle=False, drop_last=False):
-                imgs = jnp.take(val_store.images, jnp.asarray(idx), axis=0)
-                msks = jnp.take(val_store.masks, jnp.asarray(idx), axis=0)
-                weights = jnp.asarray((np.arange(len(idx)) < valid).astype(np.float32))
+            for imgs, msks, valid in batch_iter:
+                weights = jnp.asarray(
+                    (np.arange(config['batch_size']) < valid).astype(np.float32))
                 metrics = eval_step(state.params, state.batch_stats, imgs, msks, weights)
                 pending.append((metrics, valid))
             for metrics, valid in pending:
@@ -454,7 +615,7 @@ def main(argv=None):
             best_iou = va_meters['iou'].avg
             print("=> saved best model")
             trigger = 0
-        checkpoint.save_training_state(model_dir, state, epoch, best_iou, trigger)
+        save_state_fn(model_dir, state, epoch, best_iou, trigger)
 
         if 0 <= config['early_stopping'] <= trigger:
             print("=> early stopping")
