@@ -28,9 +28,11 @@ import jax.numpy as jnp
 from ..ops.layers import TorchConv
 from ..ops.pool import max_pool2x2
 from ..ops.resize import resize_bilinear
+from ..ops.small_conv import ShiftConv
 from .blocks import ConvBNReLU, UnetConv2
 
 DECODERS = ("LSTM", "GRU", "vanilla")
+CONV_IMPLS = ("auto", "mxu", "shift")
 
 
 class RDC(nn.Module):
@@ -46,17 +48,33 @@ class RDC(nn.Module):
     kernel_size: int = 3
     use_bias: bool = True
     decoder: str = "GRU"
+    conv_impl: str = "auto"
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x_cur, h_pre, c_pre=None):
         if self.decoder not in DECODERS:
             raise NotImplementedError(self.decoder)
+        if self.conv_impl not in CONV_IMPLS:
+            raise NotImplementedError(self.conv_impl)
         hw = (x_cur.shape[-3], x_cur.shape[-2])
         pad = self.kernel_size // 2
-        conv = lambda feats, name: TorchConv(
-            feats, self.kernel_size, padding=pad, use_bias=self.use_bias,
-            dtype=self.dtype, name=name)
+        cin = 2 * self.hidden_dim  # every cell conv sees [h_up ++ x]
+
+        def conv(feats, name):
+            # Tiny channel counts (hidden_dim = n_classes, usually 1) pad the
+            # MXU's 128-lane tiles to ~1% utilization; lower those as VPU
+            # shift-sum convs instead (ops/small_conv.py) — same math, same
+            # param tree, fused with the gating arithmetic. VERDICT.md weak #4.
+            shift = (self.conv_impl == "shift"
+                     or (self.conv_impl == "auto" and cin * feats <= 64))
+            if shift:
+                return ShiftConv(feats, self.kernel_size, padding=pad,
+                                 use_bias=self.use_bias, dtype=self.dtype,
+                                 name=name)
+            return TorchConv(feats, self.kernel_size, padding=pad,
+                             use_bias=self.use_bias, dtype=self.dtype,
+                             name=name)
 
         h_pre_up = resize_bilinear(h_pre, hw, align_corners=True)
 
@@ -116,6 +134,7 @@ class _UNetRNNBase(nn.Module):
     kernel_size: int = 3
     feature_scale: int = 4
     decoder: str = "GRU"
+    conv_impl: str = "auto"  # RDC cell lowering: auto|mxu|shift (see RDC)
     use_bias: bool = True
     dtype: Any = None
 
@@ -155,7 +174,8 @@ class _UNetRNNBase(nn.Module):
         feats = self.encode(x, train)
         scores = self.attend(self.score(feats, train), train)
         rdc = RDC(self.num_classes, self.kernel_size, use_bias=self.use_bias,
-                  decoder=self.decoder, dtype=self.dtype, name="RDC")
+                  decoder=self.decoder, conv_impl=self.conv_impl,
+                  dtype=self.dtype, name="RDC")
         h = rdc_decode(rdc, scores, self.decoder)
         return h.astype(jnp.float32)
 

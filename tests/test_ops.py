@@ -124,3 +124,46 @@ def test_batchnorm_matches_torch_train_and_eval(rng):
     ref = _nhwc(tbn(_nchw(x1)))
     ours = layer.apply(variables, jnp.asarray(x1), use_running_average=True)
     np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5, rtol=1e-4)
+
+
+def test_shift_conv_matches_torch_conv_and_param_tree(rng):
+    """ShiftConv (VPU shift-sum lowering for tiny-channel convs, ops/small_conv.py)
+    must be a drop-in for TorchConv: identical param tree and matching numerics,
+    so RDC checkpoints work under either lowering."""
+    from pytorch_nested_unet_tpu.ops.small_conv import ShiftConv
+
+    for k, cin, cout in ((3, 2, 4), (5, 3, 1)):
+        x = jnp.asarray(rng.standard_normal((2, 9, 11, cin)), jnp.float32)
+        a = TorchConv(cout, k, padding=k // 2, name="c")
+        b = ShiftConv(cout, k, padding=k // 2, name="c")
+        va = a.init(jax.random.PRNGKey(7), x)
+        vb = b.init(jax.random.PRNGKey(7), x)
+        # identical tree AND identical init draw (same init fns, same key path)
+        assert jax.tree_util.tree_structure(va) == jax.tree_util.tree_structure(vb)
+        for la, lb in zip(jax.tree_util.tree_leaves(va), jax.tree_util.tree_leaves(vb)):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+        ya = a.apply(va, x)
+        yb = b.apply(vb, x)
+        np.testing.assert_allclose(np.asarray(ya), np.asarray(yb),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_rdc_conv_impl_variants_agree(rng):
+    """RDC under mxu vs shift lowering: same params, same outputs."""
+    from pytorch_nested_unet_tpu.models.rdc import RDC
+
+    x = jnp.asarray(rng.standard_normal((2, 12, 12, 1)), jnp.float32)
+    h = jnp.asarray(rng.standard_normal((2, 6, 6, 1)), jnp.float32)
+    for decoder in ("GRU", "LSTM", "vanilla"):
+        kw = {}
+        if decoder == "LSTM":
+            kw["c_pre"] = jnp.zeros_like(h)
+        m_ref = RDC(1, 3, decoder=decoder, conv_impl="mxu")
+        m_new = RDC(1, 3, decoder=decoder, conv_impl="shift")
+        v = m_ref.init(jax.random.PRNGKey(0), x, h, **kw)
+        out_ref = m_ref.apply(v, x, h, **kw)
+        out_new = m_new.apply(v, x, h, **kw)  # same variables restore cleanly
+        for a, b in zip(jax.tree_util.tree_leaves(out_ref),
+                        jax.tree_util.tree_leaves(out_new)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-5)

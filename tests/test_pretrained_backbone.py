@@ -62,9 +62,14 @@ def test_dilated_trunk_feature_parity_vs_reference_extractors():
     and architecture line up."""
     import torch
 
-    if _REF not in sys.path:
-        sys.path.insert(0, _REF)
-    from cascadePSP_model.psp import extractors
+    # import via a temporary path entry; remove it immediately so top-level
+    # names of the reference checkout (val.py, train.py, ...) can never shadow
+    # this repo's modules for later tests in the same process
+    sys.path.insert(0, _REF)
+    try:
+        from cascadePSP_model.psp import extractors
+    finally:
+        sys.path.remove(_REF)
 
     torch.manual_seed(0)
     tmodel = extractors.resnet50(pretrained=False)
