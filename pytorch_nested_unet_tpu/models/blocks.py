@@ -54,17 +54,36 @@ class UnetConv2(nn.Module):
 
 
 class ConvBNReLU(nn.Module):
-    """Single conv -> BN -> ReLU unit (score blocks etc.)."""
+    """Single conv -> BN -> ReLU unit (score blocks etc.).
+
+    conv_impl: measured NEGATIVE result (v5e, UNetRNN protocol) — the CRDN
+    score blocks' 5x5 C->n_classes convs run at ~4%% MXU utilization (326 us
+    forward at the 96x96 level, 25x over streaming), but lowering them as
+    shift-sums makes the FULL step *worse*: XLA materializes the k*k shifted
+    slabs in the backward pass, HBM traffic 2.4 -> 6.6 GB/step and step time
+    4.1 -> 7.2 ms. So 'auto' keeps the MXU path here; 'shift' remains
+    available for inference-only/forward-heavy uses where it does win.
+    (The RDC cell's 3x3 convs over 2*n_classes channels are small enough that
+    shift is neutral-to-better — see models/rdc.py.)
+    """
 
     out_channels: int
     kernel_size: int = 3
     stride: int = 1
     padding: int = 1
+    conv_impl: str = "auto"  # auto(=mxu here)|mxu|shift
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = TorchConv(self.out_channels, self.kernel_size, stride=self.stride,
-                      padding=self.padding, dtype=self.dtype, name="conv")(x)
+        from ..ops.small_conv import ShiftConv
+
+        shift = self.stride == 1 and self.conv_impl == "shift"
+        if shift:
+            x = ShiftConv(self.out_channels, self.kernel_size,
+                          padding=self.padding, dtype=self.dtype, name="conv")(x)
+        else:
+            x = TorchConv(self.out_channels, self.kernel_size, stride=self.stride,
+                          padding=self.padding, dtype=self.dtype, name="conv")(x)
         return FusedBatchNormReLU(dtype=self.dtype, name="bn")(
             x, use_running_average=not train)

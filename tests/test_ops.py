@@ -148,6 +148,25 @@ def test_shift_conv_matches_torch_conv_and_param_tree(rng):
                                    atol=1e-5, rtol=1e-5)
 
 
+def test_conv_bn_relu_conv_impl_variants_agree(rng):
+    """ConvBNReLU under mxu vs shift lowering: same param tree, same outputs
+    (the shift path must stay checkpoint-compatible with the MXU default)."""
+    from pytorch_nested_unet_tpu.models.blocks import ConvBNReLU
+
+    x = jnp.asarray(rng.standard_normal((2, 10, 10, 3)), jnp.float32)
+    for k in (3, 5):
+        m_ref = ConvBNReLU(4, kernel_size=k, padding=k // 2, conv_impl="mxu")
+        m_new = ConvBNReLU(4, kernel_size=k, padding=k // 2, conv_impl="shift")
+        v = m_ref.init(jax.random.PRNGKey(0), x, train=True)
+        assert (jax.tree_util.tree_structure(v) ==
+                jax.tree_util.tree_structure(
+                    m_new.init(jax.random.PRNGKey(0), x, train=True)))
+        out_ref = m_ref.apply(v, x, train=False)
+        out_new = m_new.apply(v, x, train=False)
+        np.testing.assert_allclose(np.asarray(out_ref), np.asarray(out_new),
+                                   atol=1e-5, rtol=1e-5)
+
+
 def test_rdc_conv_impl_variants_agree(rng):
     """RDC under mxu vs shift lowering: same params, same outputs."""
     from pytorch_nested_unet_tpu.models.rdc import RDC
