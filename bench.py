@@ -66,6 +66,9 @@ def _device_peaks(dev):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--arch", default="NestedUNet")
+    parser.add_argument("--arch_kwargs", default=None,
+                        help="JSON object of extra constructor kwargs for the "
+                             "headline arch, e.g. '{\"remat\": \"policy\"}'")
     parser.add_argument("--deep_supervision", default=None,
                         type=lambda v: str(v).lower() in ("1", "true", "t", "yes"),
                         help="default: true for NestedUNet, false otherwise")
@@ -115,8 +118,11 @@ def main():
     tx = build_optimizer("SGD", 1e-3, 0.9, 1e-4)
     rng = np.random.default_rng(0)
 
+    extra_kwargs = models.parse_arch_kwargs(args.arch, args.arch_kwargs)
+
     def build(arch, ds):
-        return models.create_model(arch, 1, 3, ds, dtype=dtype)
+        kw = extra_kwargs if arch == args.arch else {}
+        return models.create_model(arch, 1, 3, ds, dtype=dtype, **kw)
 
     def batch_data(batch):
         imgs = jnp.asarray(rng.integers(0, 255, (batch, hw, hw, 3), dtype=np.uint8))
@@ -271,6 +277,7 @@ def main():
         "device": str(dev),
         "device_kind": device_kind or "unknown",
         "arch": args.arch,
+        **({"arch_kwargs": extra_kwargs} if extra_kwargs else {}),
         "deep_supervision": args.deep_supervision,
         "precision": args.precision,
         "batch_size": args.batch_size,

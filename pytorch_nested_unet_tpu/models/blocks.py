@@ -4,6 +4,7 @@ from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from ..ops.fused_bn import FusedBatchNormReLU
 from ..ops.layers import BatchNorm, TorchConv
@@ -16,6 +17,12 @@ class VGGBlock(nn.Module):
     BN+ReLU run through FusedBatchNormReLU (Pallas single-pass statistics and
     fused backward on TPU when ops.fused_bn is enabled; identical math on the
     plain path).
+
+    Conv outputs are tagged with `checkpoint_name` (identity outside a remat
+    region) so NestedUNet's `remat="policy"` mode can save exactly the conv
+    outputs and recompute the cheap BN/ReLU elementwise math in backward —
+    trading near-free VPU FLOPs for HBM residual traffic on a
+    bandwidth-bound step. See models/nested_unet.py.
     """
 
     middle_channels: int
@@ -25,8 +32,10 @@ class VGGBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = TorchConv(self.middle_channels, 3, padding=1, dtype=self.dtype, name="conv1")(x)
+        x = checkpoint_name(x, "vgg_conv1")
         x = FusedBatchNormReLU(dtype=self.dtype, name="bn1")(x, use_running_average=not train)
         x = TorchConv(self.out_channels, 3, padding=1, dtype=self.dtype, name="conv2")(x)
+        x = checkpoint_name(x, "vgg_conv2")
         x = FusedBatchNormReLU(dtype=self.dtype, name="bn2")(x, use_running_average=not train)
         return x
 

@@ -21,9 +21,17 @@ class NestedUNet(nn.Module):
     input_channels: int = 3
     deep_supervision: bool = False
     nb_filter: Sequence[int] = (32, 64, 128, 256, 512)
-    remat: bool = False  # rematerialize each VGGBlock in backward (saves ~2x
-    #                      activation HBM for the dense nested grid; enables
-    #                      larger per-chip batches at ~1.3x step FLOPs)
+    # Rematerialization of the VGGBlocks in backward:
+    #   False           — store every autodiff residual (fastest fwd, most HBM)
+    #   True / "full"   — full per-block remat: recompute the whole block incl.
+    #                     both convs (max memory saving, ~1.3x step FLOPs;
+    #                     enables batch 512 on one v5e)
+    #   "policy"        — save ONLY the conv outputs (checkpoint_name tags in
+    #                     VGGBlock); BN/ReLU elementwise math is recomputed in
+    #                     backward. No conv recompute — trades near-free VPU
+    #                     FLOPs for residual HBM traffic on a bandwidth-bound
+    #                     step.
+    remat: Any = False
     dtype: Any = None
 
     @nn.compact
@@ -33,7 +41,20 @@ class NestedUNet(nn.Module):
         if dt is not None:
             x = x.astype(dt)
         cat = lambda *ts: jnp.concatenate(ts, axis=-1)
-        block_cls = nn.remat(VGGBlock, static_argnums=(2,)) if self.remat else VGGBlock
+        if self.remat == "policy":
+            import jax
+
+            block_cls = nn.remat(
+                VGGBlock, static_argnums=(2,),
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "vgg_conv1", "vgg_conv2"))
+        elif self.remat in (True, "full"):
+            block_cls = nn.remat(VGGBlock, static_argnums=(2,))
+        elif self.remat in (False, None, "none"):
+            block_cls = VGGBlock
+        else:
+            raise ValueError(f"remat must be False/True/'full'/'policy'/'none', "
+                             f"got {self.remat!r}")
 
         def block(i, j, inputs):
             return block_cls(nb[i], nb[i], dtype=dt, name=f"conv{i}_{j}")(inputs, train)

@@ -85,3 +85,38 @@ def test_bf16_compute_dtype():
     assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(variables["params"]))
     out = model.apply(variables, x, train=False)
     assert out.dtype == jnp.float32  # logits returned f32
+
+
+@pytest.mark.parametrize("mode", [True, "full", "policy"])
+def test_nested_unet_remat_modes_match_baseline(mode):
+    """remat=True/'full'/'policy' must change only the autodiff schedule,
+    never the numerics: loss and grads equal the remat=False model."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)), jnp.float32)
+    y = jnp.asarray((rng.random((2, 16, 16, 1)) > 0.5), jnp.float32)
+
+    def loss_and_grads(remat):
+        model = models.NestedUNet(num_classes=1, deep_supervision=True,
+                                  nb_filter=(4, 8, 16, 32, 64), remat=remat)
+        variables = model.init(jax.random.PRNGKey(0), x, train=True)
+
+        def loss_fn(params):
+            outs, _ = model.apply({"params": params,
+                                   "batch_stats": variables["batch_stats"]},
+                                  x, train=True, mutable=["batch_stats"])
+            return sum(jnp.mean((o - y) ** 2) for o in outs) / len(outs)
+
+        return jax.value_and_grad(loss_fn)(variables["params"])
+
+    base_loss, base_grads = loss_and_grads(False)
+    loss, grads = loss_and_grads(mode)
+    np.testing.assert_allclose(float(loss), float(base_loss), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(base_grads), jax.tree.leaves(grads)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_nested_unet_remat_invalid_mode_raises():
+    model = models.NestedUNet(num_classes=1, remat="bogus")
+    with pytest.raises(ValueError, match="remat"):
+        model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)), train=True)

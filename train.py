@@ -47,6 +47,16 @@ from pytorch_nested_unet_tpu.utils.backend import configure_backend
 ARCH_NAMES = models.arch_names()
 
 
+def _remat_mode(v):
+    """--remat values: booleans plus the 'full'/'policy' mode strings."""
+    if isinstance(v, bool):
+        return v
+    s = str(v).lower()
+    if s in ('policy', 'full'):
+        return s
+    return str2bool(v)
+
+
 def parse_args(argv=None):
     parser = argparse.ArgumentParser()
 
@@ -113,9 +123,12 @@ def parse_args(argv=None):
                         help='Pallas-fused BN statistics (single-chip TPU only; '
                              'see ops/fused_bn.py for when this wins)')
     parser.add_argument('--fused_bn_mode', default='stats', choices=['stats', 'full'])
-    parser.add_argument('--remat', default=False, type=str2bool,
-                        help='rematerialize blocks in backward (jax.checkpoint) '
-                             'to fit larger per-chip batches')
+    parser.add_argument('--remat', default=False, type=_remat_mode,
+                        help='rematerialize blocks in backward (jax.checkpoint): '
+                             'false | true/full (recompute whole blocks, fits '
+                             'batch 512 on one v5e) | policy (save only conv '
+                             'outputs, recompute BN/ReLU — cuts residual HBM '
+                             'traffic at zero conv recompute)')
     parser.add_argument('--profile', default=None, metavar='DIR',
                         help='capture a jax.profiler device trace of epoch 0 '
                              'into DIR (view with tensorboard). The reference '
@@ -308,7 +321,7 @@ def main(argv=None):
     extra = {}
     arch_cls = models.get_arch(config['arch'])
     if config.get('remat') and 'remat' in getattr(arch_cls, '__dataclass_fields__', {}):
-        extra['remat'] = True
+        extra['remat'] = config['remat']
     if config.get('arch_kwargs'):
         try:
             extra.update(models.parse_arch_kwargs(config['arch'],
