@@ -26,6 +26,38 @@ import jax.numpy as jnp
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
 
+# The reference pipeline's transforms, individually selectable (the upstream
+# ISIC trainers show the author hand-editing which transforms each experiment
+# uses, reference trainISIC*.py; here that's a CLI spec instead of a code
+# edit). Geometric ops apply independently at p=0.5; the selected color ops
+# form the OneOf(p=1) pool.
+AUGMENT_OPS = ("rot90", "flip", "hsv", "brightness", "contrast")
+
+
+def parse_augment_spec(spec):
+    """'full' | 'none' | comma-list of AUGMENT_OPS | bool | tuple -> static
+    tuple of op names (hashable, jit-static). Raises ValueError on unknown
+    ops so a typo'd --augment fails loudly at startup."""
+    if spec is True:
+        return AUGMENT_OPS
+    if spec in (False, None):
+        return ()
+    if isinstance(spec, (tuple, list)):
+        ops = tuple(spec)
+    else:
+        s = str(spec).strip().lower()
+        if s == "full":
+            return AUGMENT_OPS
+        if s in ("none", ""):
+            return ()
+        ops = tuple(p.strip() for p in s.split(",") if p.strip())
+    unknown = sorted(set(ops) - set(AUGMENT_OPS))
+    if unknown:
+        raise ValueError(f"unknown augment op(s) {unknown}; "
+                         f"available: {list(AUGMENT_OPS)}")
+    # canonical order, deduped — the spec is part of the jit cache key
+    return tuple(op for op in AUGMENT_OPS if op in ops)
+
 
 def rgb_to_hsv(img):
     """img float [0,1] (..., 3) -> h [0,1), s [0,1], v [0,1]."""
@@ -89,39 +121,45 @@ def _rot90_rect(img, k):
     return jnp.where(is_odd, odd_resized, even)
 
 
-def random_rot90_flip(key, img, mask):
-    """RandomRotate90(p=.5) then Flip(p=.5) (albumentations semantics)."""
+def random_rot90_flip(key, img, mask, do_rot: bool = True, do_flip: bool = True):
+    """RandomRotate90(p=.5) then Flip(p=.5) (albumentations semantics).
+
+    do_rot/do_flip are STATIC switches (the augment-spec subset); the key
+    split layout is fixed so a given (key, image) pair produces the same
+    transform regardless of which other ops are enabled."""
     k_rot, k_apply_rot, k_flip, k_d = jax.random.split(key, 4)
-    apply_rot = jax.random.bernoulli(k_apply_rot, 0.5)
-    k = jnp.where(apply_rot, jax.random.randint(k_rot, (), 0, 4), 0)
+    if do_rot:
+        apply_rot = jax.random.bernoulli(k_apply_rot, 0.5)
+        k = jnp.where(apply_rot, jax.random.randint(k_rot, (), 0, 4), 0)
 
-    if img.shape[0] == img.shape[1]:
-        img = _rot90_square(img, k)
-        mask = _rot90_square(mask, k)
-    else:
-        img = _rot90_rect(img, k)
-        mask = _rot90_rect(mask, k)
+        if img.shape[0] == img.shape[1]:
+            img = _rot90_square(img, k)
+            mask = _rot90_square(mask, k)
+        else:
+            img = _rot90_rect(img, k)
+            mask = _rot90_rect(mask, k)
 
-    apply_flip = jax.random.bernoulli(k_flip, 0.5)
-    d = jax.random.randint(k_d, (), -1, 2)  # -1: both, 0: vertical (ud), 1: horizontal (lr)
-    do_ud = jnp.logical_and(apply_flip, d <= 0)
-    do_lr = jnp.logical_and(apply_flip, d != 0)
-    img = jnp.where(do_ud, img[::-1, :, :], img)
-    img = jnp.where(do_lr, img[:, ::-1, :], img)
-    mask = jnp.where(do_ud, mask[::-1, :, :], mask)
-    mask = jnp.where(do_lr, mask[:, ::-1, :], mask)
+    if do_flip:
+        apply_flip = jax.random.bernoulli(k_flip, 0.5)
+        d = jax.random.randint(k_d, (), -1, 2)  # -1: both, 0: vertical (ud), 1: horizontal (lr)
+        do_ud = jnp.logical_and(apply_flip, d <= 0)
+        do_lr = jnp.logical_and(apply_flip, d != 0)
+        img = jnp.where(do_ud, img[::-1, :, :], img)
+        img = jnp.where(do_lr, img[:, ::-1, :], img)
+        mask = jnp.where(do_ud, mask[::-1, :, :], mask)
+        mask = jnp.where(do_lr, mask[:, ::-1, :], mask)
     return img, mask
 
 
-def random_color_jitter(key, img):
-    """OneOf{HueSaturationValue, RandomBrightness, RandomContrast} p=1.
+def random_color_jitter(key, img, pool=("hsv", "brightness", "contrast")):
+    """OneOf{HueSaturationValue, RandomBrightness, RandomContrast} p=1 over
+    the STATIC `pool` subset (full pool = reference semantics).
 
     img float32 in [0,1] (pixel scale /255). Limits mirror albumentations
     defaults: hue ±20 (cv2 units of 2°), sat ±30/255, val ±20/255,
     brightness ±0.2, contrast alpha in [0.8, 1.2]. Clipped to [0,1].
     """
     k_choice, k_h, k_s, k_v, k_b, k_c = jax.random.split(key, 6)
-    choice = jax.random.randint(k_choice, (), 0, 3)
 
     def hsv_fn(x):
         h, s, v = rgb_to_hsv(x)
@@ -138,7 +176,14 @@ def random_color_jitter(key, img):
         alpha = jax.random.uniform(k_c, (), minval=0.8, maxval=1.2)
         return jnp.clip(x * alpha, 0.0, 1.0)
 
-    return jax.lax.switch(choice, [hsv_fn, brightness_fn, contrast_fn], img)
+    fns = {"hsv": hsv_fn, "brightness": brightness_fn, "contrast": contrast_fn}
+    branches = [fns[name] for name in pool if name in fns]
+    if not branches:
+        return img
+    if len(branches) == 1:
+        return branches[0](img)
+    choice = jax.random.randint(k_choice, (), 0, len(branches))
+    return jax.lax.switch(choice, branches, img)
 
 
 def normalize(img):
@@ -151,20 +196,27 @@ def normalize(img):
     return ((img - mean) / std) / 255.0
 
 
-def _augment_one(key, img_u8, mask_u8, train: bool):
+def _augment_one(key, img_u8, mask_u8, train):
+    """train: bool (legacy) or a static op tuple from parse_augment_spec."""
+    ops = parse_augment_spec(train)
     img = img_u8.astype(jnp.float32) / 255.0
     mask = mask_u8.astype(jnp.float32) / 255.0
-    if train:
+    if ops:
         k_geo, k_color = jax.random.split(key)
-        img, mask = random_rot90_flip(k_geo, img, mask)
-        img = random_color_jitter(k_color, img)
+        img, mask = random_rot90_flip(k_geo, img, mask,
+                                      do_rot="rot90" in ops,
+                                      do_flip="flip" in ops)
+        img = random_color_jitter(
+            k_color, img,
+            pool=tuple(o for o in ops if o in ("hsv", "brightness", "contrast")))
     img = normalize(img)
     return img, mask
 
 
 @partial(jax.jit, static_argnames=("train",))
-def augment_batch(key, images_u8, masks_u8, train: bool = True):
-    """(B,H,W,3) uint8 images + (B,H,W,C) uint8 masks -> normalized float32 batch."""
+def augment_batch(key, images_u8, masks_u8, train=True):
+    """(B,H,W,3) uint8 images + (B,H,W,C) uint8 masks -> normalized float32
+    batch. `train` is a bool or a static augment-op tuple (see AUGMENT_OPS)."""
     keys = jax.random.split(key, images_u8.shape[0])
     return jax.vmap(_augment_one, in_axes=(0, 0, 0, None))(keys, images_u8, masks_u8, train)
 

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..data.augment import _augment_one, eval_transform
+from ..data.augment import _augment_one, eval_transform, parse_augment_spec
 from ..losses import get_loss, get_weighted_loss
 from ..metrics import iou_score, iou_score_weighted, pixel_accuracy
 from .state import TrainState
@@ -37,16 +37,19 @@ def _as_heads(outputs):
 
 
 def make_train_step(model, tx, loss_name: str, deep_supervision: bool,
-                    augment: bool = True, donate: bool = True, mesh=None,
+                    augment=True, donate: bool = True, mesh=None,
                     spatial: bool = False):
     """Returns step(state, images_u8, masks_u8, key) -> (state, metrics).
 
     images_u8/masks_u8 are raw uint8 batches (already gathered/sliced); the
-    augmentation+normalization runs inside this jitted program. With `mesh`,
-    the step is pjit-sharded: state replicated, batch over the 'data' axis
-    (+ H/W over 'x'/'y' if spatial) — see parallel.mesh.
+    augmentation+normalization runs inside this jitted program. `augment` is
+    a bool, an augment-spec string ('full'/'none'/comma list), or a static op
+    tuple — see data.augment.parse_augment_spec. With `mesh`, the step is
+    pjit-sharded: state replicated, batch over the 'data' axis (+ H/W over
+    'x'/'y' if spatial) — see parallel.mesh.
     """
     loss_fn = get_loss(loss_name)
+    augment = parse_augment_spec(augment)
 
     def step(state: TrainState, images_u8, masks_u8, key):
         key, dropout_key = jax.random.split(key)
@@ -115,7 +118,7 @@ def make_predict_fn(model, deep_supervision: bool):
 
 
 def make_epoch_runner(model, tx, loss_name: str, deep_supervision: bool,
-                      augment: bool = True):
+                      augment=True):
     """Whole-epoch driver: run ALL train steps of an epoch inside one jitted
     lax.scan over a precomputed index permutation.
 

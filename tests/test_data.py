@@ -147,3 +147,59 @@ def test_rect_rot90_static_shape(rng):
                                               jnp.asarray(imgs), jnp.asarray(masks),
                                               train=True)
     assert out_img.shape == (4, 10, 16, 3) and out_mask.shape == (4, 10, 16, 1)
+
+
+def test_parse_augment_spec():
+    full = augment.AUGMENT_OPS
+    assert augment.parse_augment_spec("full") == full
+    assert augment.parse_augment_spec(True) == full
+    assert augment.parse_augment_spec("none") == ()
+    assert augment.parse_augment_spec(False) == ()
+    assert augment.parse_augment_spec(None) == ()
+    # comma list, any order/spacing/dupes -> canonical deduped tuple
+    assert augment.parse_augment_spec("flip, rot90,flip") == ("rot90", "flip")
+    assert augment.parse_augment_spec(("contrast", "hsv")) == ("hsv", "contrast")
+    with pytest.raises(ValueError, match="bogus"):
+        augment.parse_augment_spec("flip,bogus")
+
+
+def test_augment_op_subsets(rng):
+    imgs = rng.integers(0, 255, (6, 12, 12, 3), dtype=np.uint8)
+    masks = (rng.random((6, 12, 12, 1)) > 0.5).astype(np.uint8) * 255
+    j_imgs, j_masks = jnp.asarray(imgs), jnp.asarray(masks)
+    key = jax.random.PRNGKey(5)
+
+    # empty spec == eval transform (up to jit vs eager rounding)
+    out_img, out_mask = augment.augment_batch(key, j_imgs, j_masks, train=())
+    ev_img, ev_mask = augment.eval_transform(j_imgs, j_masks)
+    np.testing.assert_allclose(np.asarray(out_img), np.asarray(ev_img), atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(out_mask), np.asarray(ev_mask))
+
+    # flip-only: every image equals one of the 4 flip variants of the
+    # normalized original; masks move identically (no color op applied)
+    out_img, out_mask = augment.augment_batch(key, j_imgs, j_masks,
+                                              train=("flip",))
+    oi, om = np.asarray(out_img), np.asarray(out_mask)
+    for b in range(6):
+        variants = [np.asarray(ev_img)[b], np.asarray(ev_img)[b][::-1],
+                    np.asarray(ev_img)[b][:, ::-1], np.asarray(ev_img)[b][::-1, ::-1]]
+        matches = [np.allclose(oi[b], v, atol=1e-6) for v in variants]
+        assert any(matches), f"image {b} is not a pure flip"
+        mvariants = [np.asarray(ev_mask)[b], np.asarray(ev_mask)[b][::-1],
+                     np.asarray(ev_mask)[b][:, ::-1], np.asarray(ev_mask)[b][::-1, ::-1]]
+        assert np.allclose(om[b], mvariants[matches.index(True)])
+
+    # brightness-only: geometry untouched (mask unchanged), and the image is
+    # the normalized clip(x+beta) for a per-image constant beta
+    out_img, out_mask = augment.augment_batch(key, j_imgs, j_masks,
+                                              train=("brightness",))
+    np.testing.assert_array_equal(np.asarray(out_mask), np.asarray(ev_mask))
+    x = imgs.astype(np.float32) / 255.0
+    mean = np.asarray(augment.IMAGENET_MEAN, np.float32)
+    std = np.asarray(augment.IMAGENET_STD, np.float32)
+    recovered = np.asarray(out_img) * 255.0 * std + mean  # undo normalize
+    interior = (recovered > 1e-5) & (recovered < 1 - 1e-5)  # unclipped pixels
+    beta = recovered - x
+    for b in range(6):
+        vals = beta[b][interior[b]]
+        assert vals.size and np.ptp(vals) < 1e-4, "beta is not constant"

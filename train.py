@@ -47,6 +47,16 @@ from pytorch_nested_unet_tpu.utils.backend import configure_backend
 ARCH_NAMES = models.arch_names()
 
 
+def _augment_spec(v):
+    """Validate --augment at parse time but store the original string (the
+    config.yml capsule stays human-readable; parse_augment_spec runs again in
+    make_train_step)."""
+    from pytorch_nested_unet_tpu.data.augment import parse_augment_spec
+
+    parse_augment_spec(v)  # raises ValueError on unknown ops
+    return v
+
+
 def _remat_mode(v):
     """--remat values: booleans plus the 'full'/'policy' mode strings."""
     if isinstance(v, bool):
@@ -113,10 +123,13 @@ def parse_args(argv=None):
     parser.add_argument('--resume', default=False, type=str2bool,
                         help='resume from models/<name>/last.msgpack')
     parser.add_argument('--dataset_layout', default='generic', choices=['generic', 'isic'])
-    parser.add_argument('--augment', default='full', choices=['full', 'none'],
+    parser.add_argument('--augment', default='full', type=_augment_spec,
                         help="'full' = rot90/flip/color jitter (trains.py:257-266); "
                              "'none' = Resize+Normalize only (the ISIC scripts' "
-                             "commented-out augs, train_ISIC.py:282-296)")
+                             "commented-out augs, train_ISIC.py:282-296); or a "
+                             "comma list from {rot90,flip,hsv,brightness,contrast} "
+                             "— the per-experiment aug editing the upstream ISIC "
+                             "trainers do in code, as a flag")
     parser.add_argument('--log_acc', default=False, type=str2bool,
                         help='log pixel-accuracy columns like trainISIC_wAcc.py:339-368')
     parser.add_argument('--fused_bn', default=False, type=str2bool,
@@ -396,13 +409,13 @@ def main(argv=None):
     if epoch_scan:
         run_epoch = make_epoch_runner(model, tx, config['loss'],
                                       config['deep_supervision'],
-                                      augment=config['augment'] == 'full')
+                                      augment=config['augment'])
         eval_epoch = make_epoch_evaluator(model, config['loss'],
                                           config['deep_supervision'])
     else:
         train_step = make_train_step(model, tx, config['loss'],
                                      config['deep_supervision'],
-                                     augment=config['augment'] == 'full', mesh=mesh,
+                                     augment=config['augment'], mesh=mesh,
                                      spatial=spatial)
         eval_step = make_eval_step(model, config['loss'], config['deep_supervision'])
 
