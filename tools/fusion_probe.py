@@ -116,23 +116,41 @@ def main():
             return (y.astype(jnp.float32).sum() + gx.astype(jnp.float32).sum()
                     + gw.astype(jnp.float32).sum())
 
+        def split_conv(s, l, w):
+            # conv(concat(a, b)) == conv_a(a) + conv_b(b): skips in one conv,
+            # the upsampled feed in another — the concat buffer never exists.
+            y = (conv(s, w[:, :, :cin_skips]) +
+                 conv(upsample2x(l), w[:, :, cin_skips:]))
+            return y
+
+        def path_c(skips, low, w):
+            y, vjp = jax.vjp(split_conv, skips, low, w)
+            gs, gl, gw = vjp(jnp.ones_like(y))
+            return (y.astype(jnp.float32).sum() + gs.astype(jnp.float32).sum()
+                    + gl.astype(jnp.float32).sum() + gw.astype(jnp.float32).sum())
+
         t_a = measure(path_a, (skips, low, w), args.steps, args.repeats)
         t_b = measure(path_b, (pre, w), args.steps, args.repeats)
+        t_c = measure(path_c, (skips, low, w), args.steps, args.repeats)
         results.append({
             "node": f"x{i}_{j}", "hw": h, "cin": cin_skips + clow, "cout": cout,
             "xla_us": round(t_a * 1e6, 1),
             "fused_floor_us": round(t_b * 1e6, 1),
+            "split_conv_us": round(t_c * 1e6, 1),
             "headroom_us": round((t_a - t_b) * 1e6, 1),
+            "split_win_us": round((t_a - t_c) * 1e6, 1),
         })
 
     total_a = sum(r["xla_us"] for r in results)
     total_head = sum(r["headroom_us"] for r in results)
+    total_split = sum(r["split_win_us"] for r in results)
     print(json.dumps({
         "probe": "nested-decoder upsample+concat+conv3x3 fusion headroom",
         "batch": B, "input_hw": hw, "dtype": "bf16",
         "per_node": results,
         "total_xla_us": round(total_a, 1),
         "total_headroom_us": round(total_head, 1),
+        "total_split_conv_win_us": round(total_split, 1),
         "note": "headroom = XLA path minus perfect-fusion floor (conv reading "
                 "a pre-materialized input), fwd+bwd per train step; compare "
                 "against the flagship step time in BENCH to size the win",
