@@ -6,8 +6,50 @@ import flax.linen as nn
 import jax.numpy as jnp
 from jax.ad_checkpoint import checkpoint_name
 
+from ..ops.decoder_fusion import fused_upcat_conv3x3
 from ..ops.fused_bn import FusedBatchNormReLU
+from ..ops.init import torch_bias_init, torch_conv_kernel_init
 from ..ops.layers import BatchNorm, TorchConv
+
+
+class _MultipartConvInner(nn.Module):
+    """Param scope mirroring TorchConv's inner `nn.Conv` (name 'conv')."""
+
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, parts):
+        cin = sum(int(p.shape[-1]) for p in parts)
+        kernel = self.param("kernel", torch_conv_kernel_init,
+                            (3, 3, cin, self.features), jnp.float32)
+        bias = self.param("bias", torch_bias_init(9 * cin),
+                          (self.features,), jnp.float32)
+        if self.dtype is not None:
+            parts = [p.astype(self.dtype) for p in parts]
+            kernel = kernel.astype(self.dtype)
+            bias = bias.astype(self.dtype)
+        return fused_upcat_conv3x3(tuple(parts), kernel, bias)
+
+
+class MultipartConv3x3(nn.Module):
+    """conv3x3(concat(parts), padding=1) with a TorchConv-identical param tree.
+
+    Param path `<name>/conv/{kernel,bias}` and init math match TorchConv
+    exactly (same scope-derived RNG fold), so a VGGBlock built on this for its
+    first conv is checkpoint-compatible either way.  When
+    `ops.decoder_fusion.enable_decoder_fusion(True)` is set and the shape is
+    eligible, the concat+conv runs as the Pallas tap-matmul kernel and the
+    concatenated activation is never materialized; otherwise it is the exact
+    XLA concat+conv the zoo always used (reference archs_backup.py:123-141).
+    """
+
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, parts):
+        return _MultipartConvInner(self.features, self.dtype, name="conv")(parts)
 
 
 class VGGBlock(nn.Module):
@@ -17,6 +59,11 @@ class VGGBlock(nn.Module):
     BN+ReLU run through FusedBatchNormReLU (Pallas single-pass statistics and
     fused backward on TPU when ops.fused_bn is enabled; identical math on the
     plain path).
+
+    The input may be a tuple/list of NHWC parts (a decoder node's skips + the
+    upsampled feed): the first conv then runs through MultipartConv3x3 — same
+    params, same math, but fusable into the Pallas decoder kernel so the
+    channel concat never hits HBM (SURVEY §7 step 10).
 
     Conv outputs are tagged with `checkpoint_name` (identity outside a remat
     region) so NestedUNet's `remat="policy"` mode can save exactly the conv
@@ -31,7 +78,10 @@ class VGGBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = TorchConv(self.middle_channels, 3, padding=1, dtype=self.dtype, name="conv1")(x)
+        if isinstance(x, (tuple, list)):
+            x = MultipartConv3x3(self.middle_channels, dtype=self.dtype, name="conv1")(x)
+        else:
+            x = TorchConv(self.middle_channels, 3, padding=1, dtype=self.dtype, name="conv1")(x)
         x = checkpoint_name(x, "vgg_conv1")
         x = FusedBatchNormReLU(dtype=self.dtype, name="bn1")(x, use_running_average=not train)
         x = TorchConv(self.out_channels, 3, padding=1, dtype=self.dtype, name="conv2")(x)

@@ -46,7 +46,11 @@ class NestedUNet(nn.Module):
         dt = self.dtype
         if dt is not None:
             x = x.astype(dt)
-        cat = lambda *ts: jnp.concatenate(ts, axis=-1)
+        # Decoder nodes hand VGGBlock the parts TUPLE (not a pre-concatenated
+        # tensor): the first conv runs as MultipartConv3x3 — identical params
+        # and math, but the Pallas decoder-fusion kernel can consume the parts
+        # directly when enabled, so the concat never materializes in HBM.
+        cat = lambda *ts: tuple(ts)
         if self.remat == "policy":
             import jax
 

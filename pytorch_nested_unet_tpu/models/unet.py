@@ -38,7 +38,9 @@ class UNet(nn.Module):
         x3_0 = VGGBlock(nb[3], nb[3], dtype=dt, name="conv3_0")(max_pool2x2(x2_0), train)
         x4_0 = VGGBlock(nb[4], nb[4], dtype=dt, name="conv4_0")(max_pool2x2(x3_0), train)
 
-        cat = lambda *ts: jnp.concatenate(ts, axis=-1)
+        # Parts tuple, not a pre-concatenated tensor: VGGBlock's first conv is
+        # MultipartConv3x3 (same params/math; Pallas-fusable when enabled).
+        cat = lambda *ts: tuple(ts)
         x3_1 = VGGBlock(nb[3], nb[3], dtype=dt, name="conv3_1")(cat(x3_0, upsample2x(x4_0)), train)
         x2_2 = VGGBlock(nb[2], nb[2], dtype=dt, name="conv2_2")(cat(x2_0, upsample2x(x3_1)), train)
         x1_3 = VGGBlock(nb[1], nb[1], dtype=dt, name="conv1_3")(cat(x1_0, upsample2x(x2_2)), train)
