@@ -14,8 +14,11 @@ state_dict `.pth` loadable by the reference's archs definitions:
 
     python convert.py --export --name imported_run --out model_export.pth
 
-Covers the UNet/NestedUNet flagship family (any model whose torch counterpart
-uses named attributes — utils/torch_convert.py); the CascadePSP refinement
+Covers the UNet/NestedUNet flagship family (named-attribute keys), the CRDN
+family (UNetRNN — index-style unetConv2/score_block keys, reference
+finished/archs1.py:214-360) and the attention family (AttU_Net / R2U_Net /
+R2AttU_Net, reference archs.py:1322-1474) via the per-arch key shims in
+utils/torch_convert.py::converters_for_arch; the CascadePSP refinement
 network has its own converter (refinement.convert_torch_state_dict).
 """
 
@@ -37,6 +40,10 @@ def parse_args(argv=None):
                    help='capsule name under --output_dir (default '
                         '<dataset>_<arch>_{w,wo}DS)')
     p.add_argument('--arch', default='NestedUNet')
+    p.add_argument('--arch_kwargs', default=None, metavar='JSON',
+                   help='per-arch constructor options stored in the capsule '
+                        '(same syntax as train.py), e.g. '
+                        '\'{"decoder": "LSTM"}\' for a UNetRNN import')
     p.add_argument('--deep_supervision', default=False,
                    type=lambda v: str(v).lower() in ('1', 'true', 't', 'yes'))
     p.add_argument('--num_classes', default=1, type=int)
@@ -61,18 +68,36 @@ def _tree_paths(tree, prefix=()):
         yield "/".join(prefix), np.shape(tree)
 
 
+# The reference's RDC cell constructs all four gate convs but the forward uses
+# only the selected decoder's (reference finished/archs1.py:145-210); this
+# framework creates only the live gates (models/rdc.py).  Imports prune the
+# dead branches — and nothing else — from the converted tree.
+_DEAD_RDC_GATES = ('gru_catconv', 'gru_conv', 'lstm_catconv', 'vanilla_conv')
+
+
+def _prune_paths(tree, paths):
+    for path in paths:
+        node = tree
+        for p in path[:-1]:
+            node = node[p]
+        del node[path[-1]]
+
+
 def _validate_against_model(variables, config):
     """Init the target model and check the converted tree matches its
     structure + shapes exactly, so a wrong --arch/--deep_supervision fails
-    loudly here instead of at predict time."""
+    loudly here instead of at predict time.  Extra keys are fatal unless they
+    are the reference's dead RDC gate convs, which are pruned."""
     import jax
     import jax.numpy as jnp
 
     from pytorch_nested_unet_tpu import models
 
+    extra_kw = models.parse_arch_kwargs(config['arch'],
+                                        config.get('arch_kwargs'))
     model = models.create_model(config['arch'], config['num_classes'],
                                 config['input_channels'],
-                                config['deep_supervision'])
+                                config['deep_supervision'], **extra_kw)
     sample = jnp.zeros((1, config['input_h'], config['input_w'],
                         config['input_channels']), jnp.float32)
     ref = model.init(jax.random.PRNGKey(0), sample, train=True)
@@ -80,6 +105,13 @@ def _validate_against_model(variables, config):
     got = dict(_tree_paths({k: variables[k] for k in ('params', 'batch_stats')}))
     missing = sorted(set(want) - set(got))
     extra = sorted(set(got) - set(want))
+    dead = [k for k in extra
+            if any(g in k.split('/') for g in _DEAD_RDC_GATES)]
+    if dead:
+        _prune_paths(variables, [tuple(k.split('/')) for k in dead])
+        extra = [k for k in extra if k not in dead]
+        print(f"pruned {len(dead)} dead RDC-gate tensors the reference "
+              f"constructs but never uses (e.g. {dead[0]})")
     wrong = sorted(k for k in set(want) & set(got) if want[k] != got[k])
     if missing or extra or wrong:
         msg = [f"converted checkpoint does not match {config['arch']} "
@@ -115,9 +147,7 @@ def main(argv=None):
     args = parse_args(argv)
     from pytorch_nested_unet_tpu.training import checkpoint
     from pytorch_nested_unet_tpu.utils import save_config
-    from pytorch_nested_unet_tpu.utils.torch_convert import (
-        convert_reference_state_dict, export_reference_state_dict,
-    )
+    from pytorch_nested_unet_tpu.utils.torch_convert import converters_for_arch
 
     if args['export']:
         if not args['name']:
@@ -125,8 +155,8 @@ def main(argv=None):
         import torch
 
         model_dir = os.path.join(args['output_dir'], args['name'])
-        _, variables, _ = checkpoint.load_capsule(model_dir)
-        sd = export_reference_state_dict(variables)
+        _, variables, capsule_cfg = checkpoint.load_capsule(model_dir)
+        sd = converters_for_arch(capsule_cfg['arch'])[1](variables)
         out = args['out'] or f"{args['name']}_export.pth"
         torch.save({k: torch.from_numpy(np.array(v, copy=True))
                     for k, v in sd.items()}, out)
@@ -136,12 +166,12 @@ def main(argv=None):
     if not args['pth']:
         sys.exit('--pth PATH required (or --export)')
     sd = _load_state_dict(args['pth'])
-    variables = convert_reference_state_dict(sd)
+    variables = converters_for_arch(args['arch'])[0](sd)
 
     config = {k: args[k] for k in
-              ('arch', 'deep_supervision', 'num_classes', 'input_channels',
-               'input_w', 'input_h', 'dataset', 'img_ext', 'mask_ext',
-               'dataset_layout', 'precision')}
+              ('arch', 'arch_kwargs', 'deep_supervision', 'num_classes',
+               'input_channels', 'input_w', 'input_h', 'dataset', 'img_ext',
+               'mask_ext', 'dataset_layout', 'precision')}
     _validate_against_model(variables, config)
 
     if not args['name']:

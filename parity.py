@@ -21,6 +21,7 @@ not bitwise equality.
 
     python parity.py --arch NestedUNet --deep_supervision true --epochs 15
     python parity.py --arch UNet --loss LovaszHingeLoss
+    python parity.py --arch UNetRNN --decoder GRU   # CRDN recurrent decoder
     python parity.py --quick          # small preset used by the test suite
 
 Requires a reference checkout (--reference) and torch (CPU is fine). Exits 0
@@ -142,7 +143,7 @@ def _torch_bce_dice(torch):
 
 
 def run_torch(ref_root, arch, ds_flag, loss_name, images, masks, schedule,
-              val_idx, lr, min_lr, epochs):
+              val_idx, lr, min_lr, epochs, decoder="vanilla"):
     """Train the reference's own model definition with the reference protocol.
     Returns (init_state_dict, final_model, curves)."""
     import torch
@@ -150,7 +151,11 @@ def run_torch(ref_root, arch, ds_flag, loss_name, images, masks, schedule,
     torch.manual_seed(0)
     archs = _import_module(os.path.join(ref_root, "finished", "archs1.py"),
                            "ref_archs1")
-    model = getattr(archs, arch)(1, 3, ds_flag)
+    if arch == "UNetRNN":
+        # third positional is kernel_size here (archs1.py:215), so build by kw
+        model = archs.UNetRNN(1, input_channel=3, decoder=decoder)
+    else:
+        model = getattr(archs, arch)(1, 3, ds_flag)
     init_sd = copy.deepcopy(model.state_dict())
 
     if loss_name == "LovaszHingeLoss":
@@ -208,8 +213,16 @@ def run_torch(ref_root, arch, ds_flag, loss_name, images, masks, schedule,
 
 # ------------------------------------------------------------- jax trainer ---
 
+def _converters(arch):
+    """(torch->flax, flax->torch) pair for the arch (the CRDN family needs the
+    index->attribute key shim)."""
+    from pytorch_nested_unet_tpu.utils.torch_convert import converters_for_arch
+
+    return converters_for_arch(arch)
+
+
 def run_jax(arch, ds_flag, loss_name, init_sd, images, masks, schedule,
-            val_idx, lr, min_lr, epochs):
+            val_idx, lr, min_lr, epochs, decoder="vanilla"):
     """Train THIS framework from the converted torch init on the same data and
     schedule. Returns (model, final_variables, curves)."""
     import jax
@@ -220,12 +233,10 @@ def run_jax(arch, ds_flag, loss_name, init_sd, images, masks, schedule,
         TrainState, build_optimizer, make_eval_step, make_train_step,
         set_learning_rate,
     )
-    from pytorch_nested_unet_tpu.utils.torch_convert import (
-        convert_reference_state_dict,
-    )
 
-    model = models.create_model(arch, 1, 3, ds_flag)  # f32
-    variables = convert_reference_state_dict(init_sd)
+    extra = {"decoder": decoder} if arch == "UNetRNN" else {}
+    model = models.create_model(arch, 1, 3, ds_flag, **extra)  # f32
+    variables = _converters(arch)[0](init_sd)
     tx = build_optimizer("SGD", lr, 0.9, 1e-4)
     state = TrainState.create(variables, tx)
     step = make_train_step(model, tx, loss_name, ds_flag, augment=False,
@@ -264,17 +275,16 @@ def run_jax(arch, ds_flag, loss_name, init_sd, images, masks, schedule,
 # ------------------------------------------------------ converted-weights ----
 
 def cross_eval(torch_model, ds_flag, jax_model, jax_vars, images, masks,
-               val_idx):
+               val_idx, arch="NestedUNet"):
     """Converted-checkpoint eval equality both directions (VERDICT item 1):
     max |Δ logits| between frameworks evaluating the SAME weights."""
     import jax
     import jax.numpy as jnp
     import torch
 
-    from pytorch_nested_unet_tpu.utils.torch_convert import (
-        convert_reference_state_dict, export_reference_state_dict,
-    )
     from pytorch_nested_unet_tpu.data.augment import eval_transform
+
+    convert_reference_state_dict, export_reference_state_dict = _converters(arch)
 
     imgs_n = normalize_np(images[val_idx]).transpose(0, 3, 1, 2)
     x_t = torch.from_numpy(np.ascontiguousarray(imgs_n))
@@ -326,6 +336,10 @@ def parse_args(argv=None):
                    type=lambda v: str(v).lower() in ("1", "true", "t", "yes"))
     p.add_argument("--loss", default="BCEDiceLoss",
                    choices=["BCEDiceLoss", "LovaszHingeLoss"])
+    p.add_argument("--decoder", default="vanilla",
+                   choices=["vanilla", "GRU", "LSTM"],
+                   help="RDC cell for --arch UNetRNN (reference default: "
+                        "vanilla, archs1.py:215)")
     p.add_argument("--epochs", default=15, type=int)
     p.add_argument("--batch_size", default=8, type=int)
     p.add_argument("--size", default=48, type=int)
@@ -374,16 +388,19 @@ def main(argv=None):
                               args.seed)
 
     print(f"parity: {args.arch}{' wDS' if args.deep_supervision else ''} "
+          f"{' ' + args.decoder if args.arch == 'UNetRNN' else ''}"
           f"{args.loss} {args.size}x{args.size} "
           f"train {args.n_train} / val {args.n_val} batch {args.batch_size} "
           f"epochs {args.epochs}")
 
     init_sd, torch_model, ref = run_torch(
         args.reference, args.arch, args.deep_supervision, args.loss,
-        images, masks, schedule, val_idx, args.lr, args.min_lr, args.epochs)
+        images, masks, schedule, val_idx, args.lr, args.min_lr, args.epochs,
+        decoder=args.decoder)
     jax_model, jax_vars, ours = run_jax(
         args.arch, args.deep_supervision, args.loss, init_sd,
-        images, masks, schedule, val_idx, args.lr, args.min_lr, args.epochs)
+        images, masks, schedule, val_idx, args.lr, args.min_lr, args.epochs,
+        decoder=args.decoder)
 
     print(f"{'ep':>3} {'ref loss':>9} {'our loss':>9} {'Δloss':>8} "
           f"{'ref vIoU':>9} {'our vIoU':>9}")
@@ -393,7 +410,7 @@ def main(argv=None):
               f"{ref['val_iou'][e]:>9.4f} {ours['val_iou'][e]:>9.4f}")
 
     d1, d2 = cross_eval(torch_model, args.deep_supervision, jax_model,
-                        jax_vars, images, masks, val_idx)
+                        jax_vars, images, masks, val_idx, arch=args.arch)
 
     first_gap = abs(ref["loss"][0] - ours["loss"][0])
     final_gap = abs(ref["val_iou"][-1] - ours["val_iou"][-1])
@@ -412,8 +429,8 @@ def main(argv=None):
     ok = all(c["ok"] for c in checks.values())
     result = {
         "config": {k: getattr(args, k) for k in
-                   ("arch", "deep_supervision", "loss", "epochs", "batch_size",
-                    "size", "n_train", "n_val", "lr", "seed")},
+                   ("arch", "deep_supervision", "decoder", "loss", "epochs",
+                    "batch_size", "size", "n_train", "n_val", "lr", "seed")},
         "reference_curves": ref,
         "our_curves": ours,
         "checks": checks,

@@ -14,12 +14,132 @@ nn.Sequential indices) — the UNet/NestedUNet family; the CascadePSP network
 has its own converter (refinement.convert_torch_state_dict).
 """
 
+import re
 from typing import Any, Dict
 
 import numpy as np
 
 _BN_LEAVES = {"weight": "scale", "bias": "bias",
               "running_mean": "mean", "running_var": "var"}
+
+# The CRDN/UNetRNN reference defs (reference finished/archs1.py:214-360,
+# CRDN.py:78-199) break the named-attribute convention in exactly three ways:
+# the 5th encoder block is attribute `center` (ours: conv5), unetConv2 wraps
+# each conv in an indexed nn.Sequential (`conv1.conv1.0.weight` = conv,
+# `.1.` = bn), and the score blocks are bare Sequentials
+# (`score_block1.0.weight`).  These rename tables bridge torch's index-style
+# keys to the attribute-style keys the mechanical converter expects; the RDC
+# gate convs (RDC.gru_catconv/...) already match by name.
+_CRDN_TO_ATTR = (
+    (re.compile(r"^center\."), "conv5."),
+    (re.compile(r"^(conv\d)\.conv([12])\.0\."), r"\1.conv\2."),
+    (re.compile(r"^(conv\d)\.conv([12])\.1\."), r"\1.bn\2."),
+    (re.compile(r"^(score_block\d)\.0\."), r"\1.conv."),
+    (re.compile(r"^(score_block\d)\.1\."), r"\1.bn."),
+)
+_ATTR_TO_CRDN = (
+    (re.compile(r"^(conv\d)\.conv([12])\."), r"\1.conv\2.0."),
+    (re.compile(r"^(conv\d)\.bn([12])\."), r"\1.conv\2.1."),
+    (re.compile(r"^(score_block\d)\.conv\."), r"\1.0."),
+    (re.compile(r"^(score_block\d)\.bn\."), r"\1.1."),
+    (re.compile(r"^conv5\."), "center."),
+)
+
+
+# The LeeJunHyun attention-UNet family (reference archs.py:29-46 conv_block,
+# :1244-1321 up_conv/Recurrent_block/RRCNN_block/Attention_block,
+# :1322-1474 R2AttU_Net/AttU_Net) also keys through indexed Sequentials:
+# conv_block is `*.conv.{0,1,3,4}.*` (conv,bn,conv,bn), up_conv is
+# `*.up.{1,2}.*`, the gates are `*.{W_g,W_x,psi}.{0,1}.*`, and RRCNN blocks
+# are `*.RCNN.{0,1}.conv.{0,1}.*` plus an inner `Conv_1x1`.
+# BN targets carry a trailing `.bn.` segment: these models build their norms
+# from ops.layers.BatchNorm, whose params live one scope deeper
+# (`<name>/bn/{scale,bias}`) than the flat FusedBatchNormReLU layout the
+# flagship family uses.
+_ATTN_TO_ATTR = (
+    (re.compile(r"\.RCNN\.0\.conv\.0\."), ".rcnn1.conv."),
+    (re.compile(r"\.RCNN\.0\.conv\.1\."), ".rcnn1.bn.bn."),
+    (re.compile(r"\.RCNN\.1\.conv\.0\."), ".rcnn2.conv."),
+    (re.compile(r"\.RCNN\.1\.conv\.1\."), ".rcnn2.bn.bn."),
+    (re.compile(r"^((?:Up_)?RRCNN\d)\.Conv_1x1\."), r"\1.conv_1x1."),
+    (re.compile(r"\.conv\.0\."), ".conv1."),
+    (re.compile(r"\.conv\.1\."), ".bn1.bn."),
+    (re.compile(r"\.conv\.3\."), ".conv2."),
+    (re.compile(r"\.conv\.4\."), ".bn2.bn."),
+    (re.compile(r"\.up\.1\."), ".conv."),
+    (re.compile(r"\.up\.2\."), ".bn.bn."),
+    (re.compile(r"\.(W_g|W_x|psi)\.0\."), r".\1_conv."),
+    (re.compile(r"\.(W_g|W_x|psi)\.1\."), r".\1_bn.bn."),
+)
+_ATTR_TO_ATTN = (
+    (re.compile(r"\.rcnn1\.conv\."), ".RCNN.0.conv.0."),
+    (re.compile(r"\.rcnn1\.bn\.bn\."), ".RCNN.0.conv.1."),
+    (re.compile(r"\.rcnn2\.conv\."), ".RCNN.1.conv.0."),
+    (re.compile(r"\.rcnn2\.bn\.bn\."), ".RCNN.1.conv.1."),
+    (re.compile(r"^((?:Up_)?RRCNN\d)\.conv_1x1\."), r"\1.Conv_1x1."),
+    (re.compile(r"\.conv1\."), ".conv.0."),
+    (re.compile(r"\.bn1\.bn\."), ".conv.1."),
+    (re.compile(r"\.conv2\."), ".conv.3."),
+    (re.compile(r"\.bn2\.bn\."), ".conv.4."),
+    (re.compile(r"\.(W_g|W_x|psi)_conv\."), r".\1.0."),
+    (re.compile(r"\.(W_g|W_x|psi)_bn\.bn\."), r".\1.1."),
+    (re.compile(r"^(Up\d)\.conv\."), r"\1.up.1."),
+    (re.compile(r"^(Up\d)\.bn\.bn\."), r"\1.up.2."),
+)
+
+
+def _rename(key: str, rules) -> str:
+    for pat, repl in rules:
+        key = pat.sub(repl, key)
+    return key
+
+
+def convert_crdn_state_dict(state_dict: Dict[str, Any]):
+    """CRDN-family torch state_dict (reference finished/archs1.py UNetRNN /
+    CRDN.py naming) -> flax variables, via the index->attribute rename."""
+    renamed = {}
+    for k, v in state_dict.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        renamed[_rename(k, _CRDN_TO_ATTR)] = v
+    return convert_reference_state_dict(renamed)
+
+
+def export_crdn_state_dict(variables) -> Dict[str, np.ndarray]:
+    """Inverse of convert_crdn_state_dict: flax variables -> the reference's
+    CRDN index-style torch state_dict."""
+    return {_rename(k, _ATTR_TO_CRDN): v
+            for k, v in export_reference_state_dict(variables).items()}
+
+
+def convert_attention_unet_state_dict(state_dict: Dict[str, Any]):
+    """AttU_Net / R2U_Net / R2AttU_Net torch state_dict (reference
+    archs.py:1322-1474 naming) -> flax variables."""
+    renamed = {}
+    for k, v in state_dict.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        renamed[_rename(k, _ATTN_TO_ATTR)] = v
+    return convert_reference_state_dict(renamed)
+
+
+def export_attention_unet_state_dict(variables) -> Dict[str, np.ndarray]:
+    """Inverse of convert_attention_unet_state_dict."""
+    return {_rename(k, _ATTR_TO_ATTN): v
+            for k, v in export_reference_state_dict(variables).items()}
+
+
+def converters_for_arch(arch: str):
+    """(torch->flax, flax->torch) converter pair for a registry arch name.
+
+    The flagship family keys by named attributes and needs no shim; the CRDN
+    and attention-UNet families need the index->attribute renames above."""
+    if arch in ("UNetRNN",):
+        return convert_crdn_state_dict, export_crdn_state_dict
+    if arch in ("AttU_Net", "R2U_Net", "R2AttU_Net"):
+        return (convert_attention_unet_state_dict,
+                export_attention_unet_state_dict)
+    return convert_reference_state_dict, export_reference_state_dict
 
 
 def _as_numpy(v):

@@ -1,0 +1,174 @@
+"""CRDN-family torch->flax key shim (utils.torch_convert.convert_crdn_state_dict).
+
+The reference's CRDN defs (reference finished/archs1.py:214-360) break the
+named-attribute checkpoint convention: the 5th encoder is attribute `center`,
+unetConv2 wraps convs in indexed nn.Sequentials (`conv1.conv1.0.weight`), and
+score blocks are bare Sequentials (`score_block1.0.weight`).  The fixture
+below reproduces that exact key layout so the shim (and parity.py --arch
+UNetRNN, which rides it) is validated against real index-style state dicts.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn as tnn
+import torch.nn.functional as F
+
+from pytorch_nested_unet_tpu import models
+from pytorch_nested_unet_tpu.utils.torch_convert import (
+    convert_crdn_state_dict, export_crdn_state_dict,
+)
+
+
+def _unet_conv2(cin, cout):
+    # reference archs1.py:342-355 (is_batchnorm=True): indexed Sequentials
+    return tnn.ModuleDict({
+        "conv1": tnn.Sequential(tnn.Conv2d(cin, cout, 3, 1, 1),
+                                tnn.BatchNorm2d(cout), tnn.ReLU()),
+        "conv2": tnn.Sequential(tnn.Conv2d(cout, cout, 3, 1, 1),
+                                tnn.BatchNorm2d(cout), tnn.ReLU()),
+    })
+
+
+class _RDC(tnn.Module):
+    """reference archs1.py:145-210 — all four gate convs exist regardless of
+    the decoder in use."""
+
+    def __init__(self, hidden, k=3):
+        super().__init__()
+        pad = 1
+        self.gru_catconv = tnn.Conv2d(hidden * 2, hidden * 2, k, padding=pad)
+        self.gru_conv = tnn.Conv2d(hidden * 2, hidden, k, padding=pad)
+        self.lstm_catconv = tnn.Conv2d(hidden * 2, hidden * 4, k, padding=pad)
+        self.vanilla_conv = tnn.Conv2d(hidden * 2, hidden, k, padding=pad)
+
+    def forward(self, x_cur, h_pre):
+        h_up = F.interpolate(h_pre, size=x_cur.shape[2:], mode="bilinear",
+                             align_corners=True)
+        return torch.relu(self.vanilla_conv(torch.cat([h_up, x_cur], 1)))
+
+
+class TorchCRDNIndexStyle(tnn.Module):
+    """archs1.py:214-340 UNetRNN (vanilla decoder), index-style keys."""
+
+    def __init__(self, n_classes=1, cin=3, feature_scale=4):
+        super().__init__()
+        f = [int(x / feature_scale) for x in (64, 128, 256, 512, 1024)]
+        self.conv1 = _unet_conv2(cin, f[0])
+        self.conv2 = _unet_conv2(f[0], f[1])
+        self.conv3 = _unet_conv2(f[1], f[2])
+        self.conv4 = _unet_conv2(f[2], f[3])
+        self.center = _unet_conv2(f[3], f[4])
+        for i, ch in enumerate(f):
+            self.add_module(f"score_block{i + 1}", tnn.Sequential(
+                tnn.Conv2d(ch, n_classes, 5, padding=2),
+                tnn.BatchNorm2d(n_classes), tnn.ReLU()))
+        self.RDC = _RDC(n_classes)
+
+    @staticmethod
+    def _enc(block, x):
+        return block["conv2"](block["conv1"](x))
+
+    def forward(self, x):
+        c1 = self._enc(self.conv1, x)
+        c2 = self._enc(self.conv2, F.max_pool2d(c1, 2))
+        c3 = self._enc(self.conv3, F.max_pool2d(c2, 2))
+        c4 = self._enc(self.conv4, F.max_pool2d(c3, 2))
+        c5 = self._enc(self.center, F.max_pool2d(c4, 2))
+        xs = [self.score_block5(c5), self.score_block4(c4),
+              self.score_block3(c3), self.score_block2(c2),
+              self.score_block1(c1)]
+        h = torch.zeros_like(xs[0])
+        for s in xs:
+            h = self.RDC(s, h)
+        return h
+
+
+def _randomized_fixture():
+    torch.manual_seed(0)
+    tm = TorchCRDNIndexStyle().eval()
+    nprng = np.random.default_rng(1)
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.weight.copy_(torch.tensor(
+                    nprng.uniform(0.5, 1.5, m.weight.shape), dtype=torch.float32))
+                m.bias.copy_(torch.tensor(
+                    nprng.uniform(-0.2, 0.2, m.bias.shape), dtype=torch.float32))
+                m.running_mean.copy_(torch.tensor(
+                    nprng.uniform(-0.1, 0.1, m.running_mean.shape), dtype=torch.float32))
+                m.running_var.copy_(torch.tensor(
+                    nprng.uniform(0.8, 1.2, m.running_var.shape), dtype=torch.float32))
+    return tm
+
+
+def test_crdn_index_style_convert_full_forward(rng):
+    tm = _randomized_fixture()
+    variables = convert_crdn_state_dict(tm.state_dict())
+
+    jm = models.UNetRNN(num_classes=1, decoder="vanilla")
+    x = rng.standard_normal((1, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        expect = tm(torch.tensor(x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+    got = jm.apply(variables, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(got), expect, atol=5e-5)
+
+
+def test_crdn_convert_cli_end_to_end(rng, tmp_path, monkeypatch):
+    """convert.py --arch UNetRNN: index-style .pth -> capsule (dead RDC gates
+    pruned), capsule forward == torch, --export loads back into torch with a
+    bit-identical forward (the missing dead gates are never used)."""
+    import convert as convert_cli
+    from pytorch_nested_unet_tpu.training import checkpoint
+
+    monkeypatch.chdir(tmp_path)
+    tm = _randomized_fixture()
+    torch.save(tm.state_dict(), "crdn.pth")
+
+    convert_cli.main(["--pth", "crdn.pth", "--arch", "UNetRNN",
+                      "--arch_kwargs", '{"decoder": "vanilla"}',
+                      "--name", "imported_crdn",
+                      "--input_w", "32", "--input_h", "32"])
+    _, variables, cfg = checkpoint.load_capsule("models/imported_crdn")
+    assert cfg["arch_kwargs"] == '{"decoder": "vanilla"}'
+    jm = models.UNetRNN(num_classes=1, decoder="vanilla")
+    x = rng.standard_normal((1, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        expect = tm(torch.tensor(x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+    got = jm.apply(variables, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(got), expect, atol=5e-5)
+
+    convert_cli.main(["--export", "--name", "imported_crdn", "--out", "back.pth"])
+    tm2 = TorchCRDNIndexStyle().eval()
+    missing, unexpected = tm2.load_state_dict(
+        torch.load("back.pth", weights_only=True), strict=False)
+    assert not unexpected
+    dead = ("gru_catconv", "gru_conv", "lstm_catconv")
+    assert all("num_batches_tracked" in k or any(d in k for d in dead)
+               for k in missing), missing
+    with torch.no_grad():
+        back = tm2(torch.tensor(x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(back, expect, atol=0)
+
+
+def test_crdn_export_round_trips_into_torch(rng):
+    tm = _randomized_fixture()
+    variables = convert_crdn_state_dict(tm.state_dict())
+
+    sd = export_crdn_state_dict(variables)
+    torch_keys = {k for k in tm.state_dict() if "num_batches_tracked" not in k}
+    assert set(sd) == torch_keys
+
+    tm2 = TorchCRDNIndexStyle().eval()
+    missing, unexpected = tm2.load_state_dict(
+        {k: torch.from_numpy(np.array(v, copy=True)) for k, v in sd.items()},
+        strict=False)
+    assert not unexpected
+    assert all("num_batches_tracked" in k for k in missing)
+
+    x = rng.standard_normal((1, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        a = tm(torch.tensor(x.transpose(0, 3, 1, 2))).numpy()
+        b = tm2(torch.tensor(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(a, b, atol=0)
