@@ -42,8 +42,12 @@ _ATTR_TO_CRDN = (
     (re.compile(r"^(conv\d)\.bn([12])\."), r"\1.conv\2.1."),
     (re.compile(r"^(score_block\d)\.conv\."), r"\1.0."),
     (re.compile(r"^(score_block\d)\.bn\."), r"\1.1."),
-    (re.compile(r"^conv5\."), "center."),
 )
+# Only UNetRNN names its 5th (deepest) encoder block `center` (reference
+# finished/archs1.py:232, archs_backup.py:261); the RM3/RM7 depth ablations
+# use plain conv1..N throughout (archs_backup.py:637-643, 734-752), so for
+# UNetRM7 a blanket conv5->center rename would corrupt a real encoder block.
+_CENTER_EXPORT = ((re.compile(r"^conv5\."), "center."),)
 
 
 # The LeeJunHyun attention-UNet family (reference archs.py:29-46 conv_block,
@@ -105,11 +109,18 @@ def convert_crdn_state_dict(state_dict: Dict[str, Any]):
     return convert_reference_state_dict(renamed)
 
 
-def export_crdn_state_dict(variables) -> Dict[str, np.ndarray]:
+def export_crdn_state_dict(variables, center: bool = True) -> Dict[str, np.ndarray]:
     """Inverse of convert_crdn_state_dict: flax variables -> the reference's
-    CRDN index-style torch state_dict."""
-    return {_rename(k, _ATTR_TO_CRDN): v
+    CRDN index-style torch state_dict. `center` renames conv5 -> center
+    (UNetRNN only; False for the RM3/RM7 depth ablations)."""
+    rules = _ATTR_TO_CRDN + (_CENTER_EXPORT if center else ())
+    return {_rename(k, rules): v
             for k, v in export_reference_state_dict(variables).items()}
+
+
+def export_rm_state_dict(variables) -> Dict[str, np.ndarray]:
+    """UNetRM3/UNetRM7 export: conv1..N stay conv1..N (no `center`)."""
+    return export_crdn_state_dict(variables, center=False)
 
 
 def convert_attention_unet_state_dict(state_dict: Dict[str, Any]):
@@ -136,6 +147,8 @@ def converters_for_arch(arch: str):
     and attention-UNet families need the index->attribute renames above."""
     if arch in ("UNetRNN",):
         return convert_crdn_state_dict, export_crdn_state_dict
+    if arch in ("UNetRM3", "UNetRM7"):
+        return convert_crdn_state_dict, export_rm_state_dict
     if arch in ("AttU_Net", "R2U_Net", "R2AttU_Net"):
         return (convert_attention_unet_state_dict,
                 export_attention_unet_state_dict)

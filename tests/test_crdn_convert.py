@@ -11,6 +11,7 @@ UNetRNN, which rides it) is validated against real index-style state dicts.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 import torch.nn as tnn
 import torch.nn.functional as F
@@ -50,16 +51,25 @@ class _RDC(tnn.Module):
 
 
 class TorchCRDNIndexStyle(tnn.Module):
-    """archs1.py:214-340 UNetRNN (vanilla decoder), index-style keys."""
+    """archs1.py:214-340 UNetRNN (vanilla decoder), index-style keys.
 
-    def __init__(self, n_classes=1, cin=3, feature_scale=4):
+    `base_filters`/`use_center` reproduce the depth ablations too: UNetRM3
+    (archs_backup.py:621-715) and UNetRM7 (:717-871) use plain conv1..N with
+    no `center` attribute — RM7's conv5 is a REAL encoder block, the case the
+    export-side center rename must not touch."""
+
+    def __init__(self, n_classes=1, cin=3, feature_scale=4,
+                 base_filters=(64, 128, 256, 512, 1024), use_center=True):
         super().__init__()
-        f = [int(x / feature_scale) for x in (64, 128, 256, 512, 1024)]
-        self.conv1 = _unet_conv2(cin, f[0])
-        self.conv2 = _unet_conv2(f[0], f[1])
-        self.conv3 = _unet_conv2(f[1], f[2])
-        self.conv4 = _unet_conv2(f[2], f[3])
-        self.center = _unet_conv2(f[3], f[4])
+        f = [int(x / feature_scale) for x in base_filters]
+        self.n_levels = len(f)
+        chans = [cin] + f
+        for i in range(self.n_levels):
+            name = ("center" if use_center and i == self.n_levels - 1
+                    else f"conv{i + 1}")
+            self.add_module(name, _unet_conv2(chans[i], chans[i + 1]))
+        self._enc_names = [("center" if use_center and i == self.n_levels - 1
+                            else f"conv{i + 1}") for i in range(self.n_levels)]
         for i, ch in enumerate(f):
             self.add_module(f"score_block{i + 1}", tnn.Sequential(
                 tnn.Conv2d(ch, n_classes, 5, padding=2),
@@ -71,23 +81,23 @@ class TorchCRDNIndexStyle(tnn.Module):
         return block["conv2"](block["conv1"](x))
 
     def forward(self, x):
-        c1 = self._enc(self.conv1, x)
-        c2 = self._enc(self.conv2, F.max_pool2d(c1, 2))
-        c3 = self._enc(self.conv3, F.max_pool2d(c2, 2))
-        c4 = self._enc(self.conv4, F.max_pool2d(c3, 2))
-        c5 = self._enc(self.center, F.max_pool2d(c4, 2))
-        xs = [self.score_block5(c5), self.score_block4(c4),
-              self.score_block3(c3), self.score_block2(c2),
-              self.score_block1(c1)]
+        feats = []
+        for i, name in enumerate(self._enc_names):
+            if i > 0:
+                x = F.max_pool2d(x, 2)
+            x = self._enc(getattr(self, name), x)
+            feats.append(x)
+        xs = [getattr(self, f"score_block{i + 1}")(f)
+              for i, f in reversed(list(enumerate(feats)))]
         h = torch.zeros_like(xs[0])
         for s in xs:
             h = self.RDC(s, h)
         return h
 
 
-def _randomized_fixture():
+def _randomized_fixture(**kwargs):
     torch.manual_seed(0)
-    tm = TorchCRDNIndexStyle().eval()
+    tm = TorchCRDNIndexStyle(**kwargs).eval()
     nprng = np.random.default_rng(1)
     with torch.no_grad():
         for m in tm.modules():
@@ -150,6 +160,38 @@ def test_crdn_convert_cli_end_to_end(rng, tmp_path, monkeypatch):
     with torch.no_grad():
         back = tm2(torch.tensor(x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
     np.testing.assert_allclose(back, expect, atol=0)
+
+
+_RM_SPECS = {
+    # arch -> (base_filters, input size divisible by 2**(levels-1))
+    "UNetRM3": ((64, 288, 512), 16),
+    "UNetRM7": ((32, 64, 128, 256, 512, 1024, 2048), 64),
+}
+
+
+@pytest.mark.parametrize("arch", ["UNetRM3", "UNetRM7"])
+def test_rm_depth_ablation_convert_and_export(arch, rng):
+    """UNetRM3/RM7 (reference archs_backup.py:621-871): plain conv1..N keys,
+    no `center`. RM7 is the regression case — its conv5 is a real encoder
+    block that a blanket conv5->center export rename would corrupt."""
+    from pytorch_nested_unet_tpu.utils.torch_convert import converters_for_arch
+
+    filters, hw = _RM_SPECS[arch]
+    tm = _randomized_fixture(base_filters=filters, use_center=False)
+    to_flax, to_torch = converters_for_arch(arch)
+    variables = to_flax(tm.state_dict())
+
+    jm = models.create_model(arch, 1, 3, False,
+                             decoder="vanilla", kernel_size=3)
+    x = rng.standard_normal((1, hw, hw, 3)).astype(np.float32)
+    with torch.no_grad():
+        expect = tm(torch.tensor(x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+    got = jm.apply(variables, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(got), expect, atol=5e-5)
+
+    sd = to_torch(variables)
+    torch_keys = {k for k in tm.state_dict() if "num_batches_tracked" not in k}
+    assert set(sd) == torch_keys  # in particular: conv5.*, never center.*
 
 
 def test_crdn_export_round_trips_into_torch(rng):
