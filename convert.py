@@ -15,10 +15,10 @@ state_dict `.pth` loadable by the reference's archs definitions:
     python convert.py --export --name imported_run --out model_export.pth
 
 Covers the UNet/NestedUNet flagship family (named-attribute keys), the CRDN
-family (UNetRNN / UNetRM3 / UNetRM7 — index-style unetConv2/score_block keys,
-reference finished/archs1.py:214-360, archs_backup.py:621-871) and the
-attention family (AttU_Net / R2U_Net / R2AttU_Net, reference
-archs.py:1322-1474) via the per-arch key shims in
+family (UNetRNN / UNetRM3 / UNetRM7 / UNetRNNGhost — index-style
+unetConv2/score_block/ghost keys, reference finished/archs1.py:214-360,
+archs_backup.py:430-871) and the attention family (AttU_Net / R2U_Net /
+R2AttU_Net, reference archs.py:1322-1474) via the per-arch key shims in
 utils/torch_convert.py::converters_for_arch; the CascadePSP refinement
 network has its own converter (refinement.convert_torch_state_dict).
 """

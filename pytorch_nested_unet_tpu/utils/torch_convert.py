@@ -50,6 +50,45 @@ _ATTR_TO_CRDN = (
 _CENTER_EXPORT = ((re.compile(r"^conv5\."), "center."),)
 
 
+# UNetRNNGhost (reference archs_backup.py:505-616) wraps each GhostBottleneck
+# score block in a one-element nn.Sequential (`score_blockN.0.<ghost tree>`)
+# and keys the ghost/shortcut convs through indexed Sequentials
+# (primary_conv.{0,1}, cheap_operation.{0,1}, shortcut.{0..3}).  These rules
+# bridge to this framework's named ghost modules (models/ghost.py); they are
+# applied BEFORE the CRDN rules so the bare `score_blockN.0.` -> `.conv.`
+# rename never sees a ghost key.
+_GHOST_TO_ATTR = (
+    (re.compile(r"^(score_block\d)\.0\.(ghost[12])\.primary_conv\.0\."),
+     r"\1.\2.primary_conv."),
+    (re.compile(r"^(score_block\d)\.0\.(ghost[12])\.primary_conv\.1\."),
+     r"\1.\2.primary_bn.bn."),
+    (re.compile(r"^(score_block\d)\.0\.(ghost[12])\.cheap_operation\.0\."),
+     r"\1.\2.cheap_conv."),
+    (re.compile(r"^(score_block\d)\.0\.(ghost[12])\.cheap_operation\.1\."),
+     r"\1.\2.cheap_bn.bn."),
+    (re.compile(r"^(score_block\d)\.0\.se\."), r"\1.se."),
+    (re.compile(r"^(score_block\d)\.0\.shortcut\.0\."), r"\1.shortcut_dw."),
+    (re.compile(r"^(score_block\d)\.0\.shortcut\.1\."), r"\1.shortcut_dw_bn.bn."),
+    (re.compile(r"^(score_block\d)\.0\.shortcut\.2\."), r"\1.shortcut_pw."),
+    (re.compile(r"^(score_block\d)\.0\.shortcut\.3\."), r"\1.shortcut_pw_bn.bn."),
+)
+_ATTR_TO_GHOST = (
+    (re.compile(r"^(score_block\d)\.(ghost[12])\.primary_conv\."),
+     r"\1.0.\2.primary_conv.0."),
+    (re.compile(r"^(score_block\d)\.(ghost[12])\.primary_bn\.bn\."),
+     r"\1.0.\2.primary_conv.1."),
+    (re.compile(r"^(score_block\d)\.(ghost[12])\.cheap_conv\."),
+     r"\1.0.\2.cheap_operation.0."),
+    (re.compile(r"^(score_block\d)\.(ghost[12])\.cheap_bn\.bn\."),
+     r"\1.0.\2.cheap_operation.1."),
+    (re.compile(r"^(score_block\d)\.se\."), r"\1.0.se."),
+    (re.compile(r"^(score_block\d)\.shortcut_dw\."), r"\1.0.shortcut.0."),
+    (re.compile(r"^(score_block\d)\.shortcut_dw_bn\.bn\."), r"\1.0.shortcut.1."),
+    (re.compile(r"^(score_block\d)\.shortcut_pw\."), r"\1.0.shortcut.2."),
+    (re.compile(r"^(score_block\d)\.shortcut_pw_bn\.bn\."), r"\1.0.shortcut.3."),
+)
+
+
 # The LeeJunHyun attention-UNet family (reference archs.py:29-46 conv_block,
 # :1244-1321 up_conv/Recurrent_block/RRCNN_block/Attention_block,
 # :1322-1474 R2AttU_Net/AttU_Net) also keys through indexed Sequentials:
@@ -123,6 +162,25 @@ def export_rm_state_dict(variables) -> Dict[str, np.ndarray]:
     return export_crdn_state_dict(variables, center=False)
 
 
+def convert_ghost_state_dict(state_dict: Dict[str, Any]):
+    """UNetRNNGhost torch state_dict (reference archs_backup.py:505-616)
+    -> flax variables: ghost-score-block renames, then the CRDN renames
+    for the shared encoder."""
+    renamed = {}
+    for k, v in state_dict.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        renamed[_rename(k, _GHOST_TO_ATTR + _CRDN_TO_ATTR)] = v
+    return convert_reference_state_dict(renamed)
+
+
+def export_ghost_state_dict(variables) -> Dict[str, np.ndarray]:
+    """Inverse of convert_ghost_state_dict."""
+    rules = _ATTR_TO_GHOST + _ATTR_TO_CRDN + _CENTER_EXPORT
+    return {_rename(k, rules): v
+            for k, v in export_reference_state_dict(variables).items()}
+
+
 def convert_attention_unet_state_dict(state_dict: Dict[str, Any]):
     """AttU_Net / R2U_Net / R2AttU_Net torch state_dict (reference
     archs.py:1322-1474 naming) -> flax variables."""
@@ -149,6 +207,8 @@ def converters_for_arch(arch: str):
         return convert_crdn_state_dict, export_crdn_state_dict
     if arch in ("UNetRM3", "UNetRM7"):
         return convert_crdn_state_dict, export_rm_state_dict
+    if arch in ("UNetRNNGhost",):
+        return convert_ghost_state_dict, export_ghost_state_dict
     if arch in ("AttU_Net", "R2U_Net", "R2AttU_Net"):
         return (convert_attention_unet_state_dict,
                 export_attention_unet_state_dict)

@@ -95,9 +95,62 @@ class TorchCRDNIndexStyle(tnn.Module):
         return h
 
 
-def _randomized_fixture(**kwargs):
+class _TorchGhostModule(tnn.Module):
+    """reference archs_backup.py:430-454 key layout."""
+
+    def __init__(self, inp, oup, kernel_size=1, ratio=2, dw_size=3, relu=True):
+        super().__init__()
+        import math
+        self.oup = oup
+        init_ch = math.ceil(oup / ratio)
+        new_ch = init_ch * (ratio - 1)
+        act = tnn.ReLU if relu else tnn.Identity
+        self.primary_conv = tnn.Sequential(
+            tnn.Conv2d(inp, init_ch, kernel_size, 1, kernel_size // 2, bias=False),
+            tnn.BatchNorm2d(init_ch), act())
+        self.cheap_operation = tnn.Sequential(
+            tnn.Conv2d(init_ch, new_ch, dw_size, 1, dw_size // 2,
+                       groups=init_ch, bias=False),
+            tnn.BatchNorm2d(new_ch), act())
+
+    def forward(self, x):
+        x1 = self.primary_conv(x)
+        x2 = self.cheap_operation(x1)
+        return torch.cat([x1, x2], 1)[:, :self.oup]
+
+
+class _TorchGhostBottleneck(tnn.Module):
+    """reference archs_backup.py:456-503 (se_ratio=0, stride 1, in != out)."""
+
+    def __init__(self, in_chs, mid_chs, out_chs, dw_kernel_size=3):
+        super().__init__()
+        self.ghost1 = _TorchGhostModule(in_chs, mid_chs, relu=True)
+        self.ghost2 = _TorchGhostModule(mid_chs, out_chs, relu=False)
+        self.shortcut = tnn.Sequential(
+            tnn.Conv2d(in_chs, in_chs, dw_kernel_size, 1,
+                       (dw_kernel_size - 1) // 2, groups=in_chs, bias=False),
+            tnn.BatchNorm2d(in_chs),
+            tnn.Conv2d(in_chs, out_chs, 1, bias=False),
+            tnn.BatchNorm2d(out_chs))
+
+    def forward(self, x):
+        return self.ghost2(self.ghost1(x)) + self.shortcut(x)
+
+
+class TorchGhostIndexStyle(TorchCRDNIndexStyle):
+    """UNetRNNGhost (reference archs_backup.py:505-616): the CRDN skeleton
+    with each score block replaced by Sequential(GhostBottleneck(f, f//2, n))."""
+
+    def __init__(self, n_classes=1):
+        super().__init__(n_classes=n_classes)
+        for i, ch in enumerate((16, 32, 64, 128, 256)):
+            self.add_module(f"score_block{i + 1}", tnn.Sequential(
+                _TorchGhostBottleneck(ch, ch // 2, n_classes)))
+
+
+def _randomized_fixture(cls=TorchCRDNIndexStyle, **kwargs):
     torch.manual_seed(0)
-    tm = TorchCRDNIndexStyle(**kwargs).eval()
+    tm = cls(**kwargs).eval()
     nprng = np.random.default_rng(1)
     with torch.no_grad():
         for m in tm.modules():
@@ -192,6 +245,39 @@ def test_rm_depth_ablation_convert_and_export(arch, rng):
     sd = to_torch(variables)
     torch_keys = {k for k in tm.state_dict() if "num_batches_tracked" not in k}
     assert set(sd) == torch_keys  # in particular: conv5.*, never center.*
+
+
+def test_ghost_convert_full_forward_and_export(rng):
+    """UNetRNNGhost: GhostBottleneck score blocks (indexed primary_conv/
+    cheap_operation/shortcut Sequentials, reference archs_backup.py:430-616)
+    convert to a full-forward match, and export round-trips the exact torch
+    key set (dead RDC gates excluded)."""
+    from pytorch_nested_unet_tpu.utils.torch_convert import converters_for_arch
+
+    tm = _randomized_fixture(cls=TorchGhostIndexStyle)
+    to_flax, to_torch = converters_for_arch("UNetRNNGhost")
+    variables = to_flax(tm.state_dict())
+
+    jm = models.create_model("UNetRNNGhost", 1, 3, False, decoder="vanilla")
+    x = rng.standard_normal((1, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        expect = tm(torch.tensor(x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+    got = jm.apply(variables, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(got), expect, atol=5e-5)
+
+    sd = to_torch(variables)
+    torch_keys = {k for k in tm.state_dict() if "num_batches_tracked" not in k}
+    assert set(sd) == torch_keys
+
+    tm2 = TorchGhostIndexStyle().eval()
+    missing, unexpected = tm2.load_state_dict(
+        {k: torch.from_numpy(np.array(v, copy=True)) for k, v in sd.items()},
+        strict=False)
+    assert not unexpected
+    assert all("num_batches_tracked" in k for k in missing)
+    with torch.no_grad():
+        back = tm2(torch.tensor(x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(back, expect, atol=0)
 
 
 def test_crdn_export_round_trips_into_torch(rng):
