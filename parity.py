@@ -142,6 +142,72 @@ def _torch_bce_dice(torch):
     return crit
 
 
+def _import_ref_archs_py(ref_root):
+    """Import the reference's archs.py with its unused module-level fastai
+    import stubbed (archs.py:21 — only the dead DoubleUnet code needs it)."""
+    import types
+
+    stubbed = []
+    for name in ("fastai", "fastai.vision"):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            mod.create_body = lambda *a, **k: None  # archs.py:1180 default arg
+            sys.modules[name] = mod
+            stubbed.append(name)
+    try:
+        return _import_module(os.path.join(ref_root, "archs.py"), "ref_archs")
+    finally:
+        for name in stubbed:
+            sys.modules.pop(name, None)
+
+
+def _build_ref_model(ref_root, arch, ds_flag, decoder):
+    """The reference's own CPU-runnable definition of `arch`."""
+    import torch
+
+    if arch == "AttU_Net":
+        # live in archs.py:1402-1474 (LeeJunHyun signature, not the trainer's)
+        return _import_ref_archs_py(ref_root).AttU_Net(img_ch=3, output_ch=1)
+    if arch == "UNetRNNGhost":
+        # The finished/archs2.py copy cannot even construct (filters[4] on a
+        # 4-element list, archs2.py:496-510); the live copy is
+        # archs_backup.py:505-616.  Its module-level
+        # `from segmentation_refinement...pspnet import *` (archs_backup.py:17)
+        # is stubbed (only the PSP hybrids touch it, at forward time).  With
+        # the vanilla decoder the RDC math is CPU-safe (archs_backup.py:219
+        # casts .cpu()); the one remaining pin is the zero-state .cuda(0)
+        # (:616), neutralized like the reference author's own CPU edits
+        # (finished/archs1.py:339).
+        import types
+
+        if decoder != "vanilla":
+            raise SystemExit("UNetRNNGhost parity: the reference GRU branch "
+                             "pins .cuda() (archs_backup.py:205); use the "
+                             "CPU-safe vanilla decoder")
+        stubbed = []
+        for name in ("segmentation_refinement", "segmentation_refinement.models",
+                     "segmentation_refinement.models.psp",
+                     "segmentation_refinement.models.psp.pspnet"):
+            if name not in sys.modules:
+                sys.modules[name] = types.ModuleType(name)
+                stubbed.append(name)
+        try:
+            backup = _import_module(os.path.join(ref_root, "archs_backup.py"),
+                                    "ref_archs_backup")
+        finally:
+            for name in stubbed:
+                sys.modules.pop(name, None)
+        backup.UNetRNNGhost._init_cell_state = (
+            lambda self, t: torch.zeros(t.size()))
+        return backup.UNetRNNGhost(1, input_channel=3, decoder=decoder)
+    archs = _import_module(os.path.join(ref_root, "finished", "archs1.py"),
+                           "ref_archs1")
+    if arch == "UNetRNN":
+        # third positional is kernel_size here (archs1.py:215), so build by kw
+        return archs.UNetRNN(1, input_channel=3, decoder=decoder)
+    return getattr(archs, arch)(1, 3, ds_flag)
+
+
 def run_torch(ref_root, arch, ds_flag, loss_name, images, masks, schedule,
               val_idx, lr, min_lr, epochs, decoder="vanilla"):
     """Train the reference's own model definition with the reference protocol.
@@ -149,13 +215,7 @@ def run_torch(ref_root, arch, ds_flag, loss_name, images, masks, schedule,
     import torch
 
     torch.manual_seed(0)
-    archs = _import_module(os.path.join(ref_root, "finished", "archs1.py"),
-                           "ref_archs1")
-    if arch == "UNetRNN":
-        # third positional is kernel_size here (archs1.py:215), so build by kw
-        model = archs.UNetRNN(1, input_channel=3, decoder=decoder)
-    else:
-        model = getattr(archs, arch)(1, 3, ds_flag)
+    model = _build_ref_model(ref_root, arch, ds_flag, decoder)
     init_sd = copy.deepcopy(model.state_dict())
 
     if loss_name == "LovaszHingeLoss":
@@ -234,7 +294,8 @@ def run_jax(arch, ds_flag, loss_name, init_sd, images, masks, schedule,
         set_learning_rate,
     )
 
-    extra = {"decoder": decoder} if arch == "UNetRNN" else {}
+    extra = ({"decoder": decoder}
+             if arch in ("UNetRNN", "UNetRNNGhost") else {})
     model = models.create_model(arch, 1, 3, ds_flag, **extra)  # f32
     variables = _converters(arch)[0](init_sd)
     tx = build_optimizer("SGD", lr, 0.9, 1e-4)
@@ -329,9 +390,11 @@ def parse_args(argv=None):
     p.add_argument("--reference", default="/root/reference",
                    help="path to an upstream reference checkout")
     p.add_argument("--arch", default="NestedUNet",
-                   choices=["UNet", "NestedUNet", "UNetRNN"],
-                   help="archs with CPU-runnable reference defs "
-                        "(reference finished/archs1.py:11)")
+                   choices=["UNet", "NestedUNet", "UNetRNN", "UNetRNNGhost",
+                            "AttU_Net"],
+                   help="archs with CPU-runnable reference defs (reference "
+                        "finished/archs1.py:11, finished/archs2.py:11, "
+                        "archs.py:1402)")
     p.add_argument("--deep_supervision", default=False,
                    type=lambda v: str(v).lower() in ("1", "true", "t", "yes"))
     p.add_argument("--loss", default="BCEDiceLoss",

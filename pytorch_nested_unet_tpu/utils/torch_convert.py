@@ -131,6 +131,106 @@ _ATTR_TO_ATTN = (
 )
 
 
+# CRDN backbone family (reference CRDN.py:250-908).  The torch side keys
+# through torchvision-style nested Sequentials: residual stages are
+# `layer{L}.{i}.<convN|bnN|downsample.{0,1}>`, VGG blocks interleave
+# MaxPool/Conv/BN/ReLU inside one Sequential, the FCN classifier is a
+# 9-element Sequential, and unetUp wraps a no-BN unetConv2
+# (`up_concatK.conv.convN.0`).  Our flax scopes flatten stage blocks to
+# `encoder/layer{L}_{i}` (models/crdn_backbones.py) and use ops.layers
+# BatchNorm (params one scope deeper: `<name>.bn.`).  Two reference
+# attributes are constructed but never used by any forward and are dropped
+# on import: the `fc` classifier head (CRDN.py:440/696/802) and VGG16RNN's
+# trailing `score` conv (CRDN.py:353).
+_RESNET_ENC_TO_ATTR = (
+    (re.compile(r"^conv1\."), "encoder.conv1."),
+    (re.compile(r"^bn1\."), "encoder.bn1.bn."),
+    (re.compile(r"^layer(\d)\.(\d+)\.downsample\.0\."),
+     r"encoder.layer\1_\2.downsample_conv."),
+    (re.compile(r"^layer(\d)\.(\d+)\.downsample\.1\."),
+     r"encoder.layer\1_\2.downsample_bn.bn."),
+    (re.compile(r"^layer(\d)\.(\d+)\.bn(\d)\."), r"encoder.layer\1_\2.bn\3.bn."),
+    (re.compile(r"^layer(\d)\.(\d+)\.conv(\d)\."), r"encoder.layer\1_\2.conv\3."),
+)
+_ATTR_TO_RESNET_ENC = (
+    (re.compile(r"^encoder\.conv1\."), "conv1."),
+    (re.compile(r"^encoder\.bn1\.bn\."), "bn1."),
+    (re.compile(r"^encoder\.layer(\d)_(\d+)\.downsample_conv\."),
+     r"layer\1.\2.downsample.0."),
+    (re.compile(r"^encoder\.layer(\d)_(\d+)\.downsample_bn\.bn\."),
+     r"layer\1.\2.downsample.1."),
+    (re.compile(r"^encoder\.layer(\d)_(\d+)\.bn(\d)\.bn\."), r"layer\1.\2.bn\3."),
+    (re.compile(r"^encoder\.layer(\d)_(\d+)\.conv(\d)\."), r"layer\1.\2.conv\3."),
+)
+_RESNET_SCORE_TO_ATTR = (
+    (re.compile(r"^(conv\d_score_block)\.0\."), r"\1.conv."),
+    (re.compile(r"^(conv\d_score_block)\.1\."), r"\1.bn."),
+)
+_ATTR_TO_RESNET_SCORE = (
+    (re.compile(r"^(conv\d_score_block)\.conv\."), r"\1.0."),
+    (re.compile(r"^(conv\d_score_block)\.bn\."), r"\1.1."),
+)
+# VGG16RNN conv blocks (CRDN.py:260-316): block1 is [conv,bn,relu]x2 (convs
+# at Sequential indices 0/3), blocks 2-5 lead with a MaxPool (convs at
+# 1/4/7); our scopes are conv_block{b}_{i} ConvBNReLU units.
+_VGG_RNN_TO_ATTR = (
+    (re.compile(r"^conv_block1\.0\."), "conv_block1_0.conv."),
+    (re.compile(r"^conv_block1\.1\."), "conv_block1_0.bn."),
+    (re.compile(r"^conv_block1\.3\."), "conv_block1_1.conv."),
+    (re.compile(r"^conv_block1\.4\."), "conv_block1_1.bn."),
+    (re.compile(r"^conv_block([2-5])\.1\."), r"conv_block\1_0.conv."),
+    (re.compile(r"^conv_block([2-5])\.2\."), r"conv_block\1_0.bn."),
+    (re.compile(r"^conv_block([2-5])\.4\."), r"conv_block\1_1.conv."),
+    (re.compile(r"^conv_block([2-5])\.5\."), r"conv_block\1_1.bn."),
+    (re.compile(r"^conv_block([3-5])\.7\."), r"conv_block\1_2.conv."),
+    (re.compile(r"^conv_block([3-5])\.8\."), r"conv_block\1_2.bn."),
+    (re.compile(r"^(score_block\d)\.0\."), r"\1.conv."),
+    (re.compile(r"^(score_block\d)\.1\."), r"\1.bn."),
+)
+_ATTR_TO_VGG_RNN = (
+    (re.compile(r"^conv_block1_0\.conv\."), "conv_block1.0."),
+    (re.compile(r"^conv_block1_0\.bn\."), "conv_block1.1."),
+    (re.compile(r"^conv_block1_1\.conv\."), "conv_block1.3."),
+    (re.compile(r"^conv_block1_1\.bn\."), "conv_block1.4."),
+    (re.compile(r"^conv_block([2-5])_0\.conv\."), r"conv_block\1.1."),
+    (re.compile(r"^conv_block([2-5])_0\.bn\."), r"conv_block\1.2."),
+    (re.compile(r"^conv_block([2-5])_1\.conv\."), r"conv_block\1.4."),
+    (re.compile(r"^conv_block([2-5])_1\.bn\."), r"conv_block\1.5."),
+    (re.compile(r"^conv_block([3-5])_2\.conv\."), r"conv_block\1.7."),
+    (re.compile(r"^conv_block([3-5])_2\.bn\."), r"conv_block\1.8."),
+    (re.compile(r"^(score_block\d)\.conv\."), r"\1.0."),
+    (re.compile(r"^(score_block\d)\.bn\."), r"\1.1."),
+)
+# ResNetUNet decoder: unetUp.conv is unetConv2(is_batchnorm=False) —
+# one-element Sequentials around each conv (CRDN.py:753-772, :213-214).
+# The ConvTranspose `up` passes through the generic converter: torch
+# (cin, cout, kh, kw) -> transpose(2,3,1,0) = flax transpose_kernel
+# (kh, kw, cout, cin), the same permutation a regular conv uses.
+_RESNET_UNET_TO_ATTR = (
+    (re.compile(r"^(up_concat\d)\.conv\.conv([12])\.0\."), r"\1.conv.conv\2."),
+)
+_ATTR_TO_RESNET_UNET = (
+    (re.compile(r"^(up_concat\d)\.conv\.conv([12])\."), r"\1.conv.conv\2.0."),
+)
+# ResNetFCN classifier Sequential (CRDN.py:804-814): conv/bn/relu/drop x2 + conv.
+_FCN_TO_ATTR = (
+    (re.compile(r"^classifier\.0\."), "classifier_conv1."),
+    (re.compile(r"^classifier\.1\."), "classifier_bn1.bn."),
+    (re.compile(r"^classifier\.4\."), "classifier_conv2."),
+    (re.compile(r"^classifier\.5\."), "classifier_bn2.bn."),
+    (re.compile(r"^classifier\.8\."), "classifier_conv3."),
+)
+_ATTR_TO_FCN = (
+    (re.compile(r"^classifier_conv1\."), "classifier.0."),
+    (re.compile(r"^classifier_bn1\.bn\."), "classifier.1."),
+    (re.compile(r"^classifier_conv2\."), "classifier.4."),
+    (re.compile(r"^classifier_bn2\.bn\."), "classifier.5."),
+    (re.compile(r"^classifier_conv3\."), "classifier.8."),
+)
+_RESNET_DEAD = (re.compile(r"^fc\."),)
+_VGG_DEAD = (re.compile(r"^score\."),)
+
+
 def _rename(key: str, rules) -> str:
     for pat, repl in rules:
         key = pat.sub(repl, key)
@@ -181,6 +281,72 @@ def export_ghost_state_dict(variables) -> Dict[str, np.ndarray]:
             for k, v in export_reference_state_dict(variables).items()}
 
 
+def _convert_with(state_dict: Dict[str, Any], rules, dead=()):
+    renamed = {}
+    for k, v in state_dict.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        if any(p.match(k) for p in dead):
+            continue  # documented dead reference attribute (never forwarded)
+        renamed[_rename(k, rules)] = v
+    return convert_reference_state_dict(renamed)
+
+
+def convert_resnet_rnn_state_dict(state_dict: Dict[str, Any]):
+    """ResNet{50,101,152}RNN torch state_dict (reference CRDN.py:418-587,
+    factories :886-898) -> flax variables.  ResNet18/34RNN share the key
+    layout but the reference classes cannot produce checkpoints: their
+    hardcoded Bottleneck score-block channels (CRDN.py:449-478) crash every
+    BasicBlock forward, so only shape validation can succeed for them."""
+    return _convert_with(state_dict, _RESNET_SCORE_TO_ATTR + _RESNET_ENC_TO_ATTR,
+                         _RESNET_DEAD)
+
+
+def export_resnet_rnn_state_dict(variables) -> Dict[str, np.ndarray]:
+    """Inverse of convert_resnet_rnn_state_dict (the dead `fc` head and the
+    inactive RDC gate convs have no flax params and are not synthesized)."""
+    rules = _ATTR_TO_RESNET_SCORE + _ATTR_TO_RESNET_ENC
+    return {_rename(k, rules): v
+            for k, v in export_reference_state_dict(variables).items()}
+
+
+def convert_vgg_rnn_state_dict(state_dict: Dict[str, Any]):
+    """VGG16RNN torch state_dict (reference CRDN.py:250-407) -> flax."""
+    return _convert_with(state_dict, _VGG_RNN_TO_ATTR, _VGG_DEAD)
+
+
+def export_vgg_rnn_state_dict(variables) -> Dict[str, np.ndarray]:
+    """Inverse of convert_vgg_rnn_state_dict (dead `score` conv omitted)."""
+    return {_rename(k, _ATTR_TO_VGG_RNN): v
+            for k, v in export_reference_state_dict(variables).items()}
+
+
+def convert_resnet_unet_state_dict(state_dict: Dict[str, Any]):
+    """ResNet50UNet torch state_dict (reference CRDN.py:674-772) -> flax."""
+    return _convert_with(state_dict, _RESNET_UNET_TO_ATTR + _RESNET_ENC_TO_ATTR,
+                         _RESNET_DEAD)
+
+
+def export_resnet_unet_state_dict(variables) -> Dict[str, np.ndarray]:
+    """Inverse of convert_resnet_unet_state_dict."""
+    rules = _ATTR_TO_RESNET_UNET + _ATTR_TO_RESNET_ENC
+    return {_rename(k, rules): v
+            for k, v in export_reference_state_dict(variables).items()}
+
+
+def convert_resnet_fcn_state_dict(state_dict: Dict[str, Any]):
+    """ResNet50FCN torch state_dict (reference CRDN.py:781-872) -> flax."""
+    return _convert_with(state_dict, _FCN_TO_ATTR + _RESNET_ENC_TO_ATTR,
+                         _RESNET_DEAD)
+
+
+def export_resnet_fcn_state_dict(variables) -> Dict[str, np.ndarray]:
+    """Inverse of convert_resnet_fcn_state_dict."""
+    rules = _ATTR_TO_FCN + _ATTR_TO_RESNET_ENC
+    return {_rename(k, rules): v
+            for k, v in export_reference_state_dict(variables).items()}
+
+
 def convert_attention_unet_state_dict(state_dict: Dict[str, Any]):
     """AttU_Net / R2U_Net / R2AttU_Net torch state_dict (reference
     archs.py:1322-1474 naming) -> flax variables."""
@@ -212,6 +378,15 @@ def converters_for_arch(arch: str):
     if arch in ("AttU_Net", "R2U_Net", "R2AttU_Net"):
         return (convert_attention_unet_state_dict,
                 export_attention_unet_state_dict)
+    if arch in ("ResNetRNN", "ResNet18RNN", "ResNet34RNN", "ResNet50RNN",
+                "ResNet101RNN", "ResNet152RNN"):
+        return convert_resnet_rnn_state_dict, export_resnet_rnn_state_dict
+    if arch in ("VGG16RNN",):
+        return convert_vgg_rnn_state_dict, export_vgg_rnn_state_dict
+    if arch in ("ResNetUNet", "ResNet50UNet"):
+        return convert_resnet_unet_state_dict, export_resnet_unet_state_dict
+    if arch in ("ResNetFCN", "ResNet50FCN"):
+        return convert_resnet_fcn_state_dict, export_resnet_fcn_state_dict
     return convert_reference_state_dict, export_reference_state_dict
 
 
