@@ -19,6 +19,10 @@ serving performance is first-class here.
 Optional `--refine true` post-processes each predicted mask through the
 CascadePSP refinement stack (the capability the reference stubs at
 train_ISIC_ca.py:183-189).
+
+`--artifact path.jaxexport` serves an AOT-exported StableHLO artifact
+(see export.py) instead of a capsule — no model code, registry, or
+checkpoint loading on the serving host.
 """
 
 import argparse
@@ -35,7 +39,12 @@ from pytorch_nested_unet_tpu.utils import str2bool
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    p.add_argument('--name', required=True, help='capsule name (models/<name>)')
+    p.add_argument('--name', default=None, help='capsule name (models/<name>)')
+    p.add_argument('--artifact', default=None,
+                   help='serve from an AOT-exported .jaxexport artifact '
+                        '(export.py) instead of a capsule — no model code or '
+                        'checkpoint loading; supersedes --name/--output_dir/'
+                        '--precision')
     p.add_argument('--input_dir', required=True, help='directory of images')
     p.add_argument('--img_ext', default=None,
                    help="glob extension (default: the capsule's img_ext)")
@@ -76,22 +85,45 @@ def main(argv=None):
     from pytorch_nested_unet_tpu.utils.backend import configure_backend
     configure_backend(args.get('platform', 'default'))
 
-    import jax.numpy as jnp
+    if args['artifact']:
+        from pytorch_nested_unet_tpu.serving import load_exported
 
-    from pytorch_nested_unet_tpu.training import checkpoint
-    from pytorch_nested_unet_tpu.training.loop import make_predict_fn
+        predict_u8, config = load_exported(args['artifact'])
+        args['name'] = args['name'] or config.get('name') or \
+            os.path.splitext(os.path.basename(args['artifact']))[0]
+        if config.get('batch') not in (None, 'dynamic') and \
+                args['batch_size'] != config['batch']:
+            print(f"artifact pins batch={config['batch']}; "
+                  f"overriding --batch_size {args['batch_size']}")
+            args['batch_size'] = int(config['batch'])
 
-    model_dir = os.path.join(args['output_dir'], args['name'])
-    dtype = {None: None, 'bf16': jnp.bfloat16, 'fp32': False}[args['precision']]
-    model, variables, config = checkpoint.load_capsule(model_dir, dtype=dtype)
+        def predict_batch(chunk):
+            return predict_u8(chunk)
+    elif not args['name']:
+        sys.exit('one of --name or --artifact is required')
+    else:
+        import jax.numpy as jnp
+
+        from pytorch_nested_unet_tpu.training import checkpoint
+        from pytorch_nested_unet_tpu.training.loop import make_predict_fn
+
+        model_dir = os.path.join(args['output_dir'], args['name'])
+        dtype = {None: None, 'bf16': jnp.bfloat16,
+                 'fp32': False}[args['precision']]
+        model, variables, config = checkpoint.load_capsule(model_dir,
+                                                           dtype=dtype)
+        predict = make_predict_fn(model, config['deep_supervision'])
+
+        def predict_batch(chunk):
+            return predict(variables['params'], variables['batch_stats'],
+                           jnp.asarray(chunk))
+
     size_hw = (config['input_h'], config['input_w'])
 
-    ext = args['img_ext'] or config['img_ext']
+    ext = args['img_ext'] or config.get('img_ext', '.png')
     paths = sorted(glob.glob(os.path.join(args['input_dir'], f'*{ext}')))
     if not paths:
         sys.exit(f"no images found under {args['input_dir']} (*{ext})")
-
-    predict = make_predict_fn(model, config['deep_supervision'])
 
     refiner = None
     if args['refine']:
@@ -125,8 +157,7 @@ def main(argv=None):
                 [chunk, np.zeros((B - valid, *chunk.shape[1:]), chunk.dtype)])
 
         t0 = time.perf_counter()
-        probs = predict(variables['params'], variables['batch_stats'],
-                        jnp.asarray(chunk))
+        probs = predict_batch(chunk)
         probs = np.asarray(probs, np.float32)  # D2H barrier ends the timing
         lat.append(time.perf_counter() - t0)
 
