@@ -17,14 +17,20 @@ state_dict `.pth` loadable by the reference's archs definitions:
 Covers the UNet/NestedUNet flagship family (named-attribute keys), the CRDN
 family (UNetRNN / UNetRM3 / UNetRM7 / UNetRNNGhost — index-style
 unetConv2/score_block/ghost keys, reference finished/archs1.py:214-360,
-archs_backup.py:430-871) and the attention family (AttU_Net / R2U_Net /
-R2AttU_Net, reference archs.py:1322-1474) via the per-arch key shims in
+archs_backup.py:430-871), the dual-attention variants (UNetRNNCAttention
+full round-trip; UNetRNNAttention with synthesized gamma=0 attention params,
+since the reference builds its PAM/CAM inside forward and never checkpoints
+them, archs_backup.py:950-962), the attention family (AttU_Net / R2U_Net /
+R2AttU_Net, reference archs.py:1322-1474) and CA-Net
+(Comprehensive_Atten_Unet, reference archs.py:844-959 — conv_block/gate/SE/
+CBAM Sequentials and Linear MLPs) via the per-arch key shims in
 utils/torch_convert.py::converters_for_arch; the CascadePSP refinement
 network has its own converter (refinement.convert_torch_state_dict).
 """
 
 import argparse
 import os
+import re
 import sys
 
 import numpy as np
@@ -58,6 +64,10 @@ def parse_args(argv=None):
                    choices=['generic', 'isic'])
     p.add_argument('--precision', default='fp32', choices=['bf16', 'fp32'])
     p.add_argument('--output_dir', default='models')
+    p.add_argument('--platform', default='default',
+                   help="jax platform ('cpu' forces host CPU — conversion is "
+                        "pure tree surgery + one model init, no accelerator "
+                        "needed; 'default' keeps jax's pick)")
     return vars(p.parse_args(argv))
 
 
@@ -105,6 +115,30 @@ def _validate_against_model(variables, config):
     want = dict(_tree_paths({k: ref[k] for k in ('params', 'batch_stats')}))
     got = dict(_tree_paths({k: variables[k] for k in ('params', 'batch_stats')}))
     missing = sorted(set(want) - set(got))
+    # UNetRNNAttention: the reference constructs its PAM/CAM modules inside
+    # forward (archs_backup.py:950-962), so its checkpoints carry no attention
+    # params at all. Synthesize them from this model's init — gamma starts at
+    # 0 in both frameworks, which makes the attention path a numerical no-op,
+    # i.e. the synthesized capsule reproduces the reference forward exactly.
+    synth = [k for k in missing
+             if config['arch'] == 'UNetRNNAttention'
+             and re.search(r'(^|/)attention_block\d+/(pam|cam)(/|$)', k)]
+    if synth:
+        for key in synth:
+            parts = key.split('/')
+            src = ref
+            for p in parts:
+                src = src[p]
+            node = variables
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = np.asarray(src)
+        missing = [k for k in missing if k not in synth]
+        got = dict(_tree_paths({k: variables[k]
+                                for k in ('params', 'batch_stats')}))
+        print(f"synthesized {len(synth)} untrained dual-attention tensors the "
+              f"reference builds at forward time (gamma=0: attention is a "
+              f"no-op, semantics preserved)")
     extra = sorted(set(got) - set(want))
     dead = [k for k in extra
             if any(g in k.split('/') for g in _DEAD_RDC_GATES)]
@@ -148,7 +182,10 @@ def main(argv=None):
     args = parse_args(argv)
     from pytorch_nested_unet_tpu.training import checkpoint
     from pytorch_nested_unet_tpu.utils import save_config
+    from pytorch_nested_unet_tpu.utils.backend import configure_backend
     from pytorch_nested_unet_tpu.utils.torch_convert import converters_for_arch
+
+    configure_backend(args.get('platform', 'default'))
 
     if args['export']:
         if not args['name']:

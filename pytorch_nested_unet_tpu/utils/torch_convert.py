@@ -230,6 +230,79 @@ _ATTR_TO_FCN = (
 _RESNET_DEAD = (re.compile(r"^fc\."),)
 _VGG_DEAD = (re.compile(r"^score\."),)
 
+# CA-Net / Comprehensive_Atten_Unet (reference archs.py:844-959).  The torch
+# side keys through: conv_block Sequentials (`convN.conv.{0,1,3,4}`), grid
+# attention gates with `W` Sequentials (`attentionblockN.gate_block_K.W.{0,1}`)
+# and `combine_gates.{0,1}`, the non-local block's wrapped g/phi/W
+# (`nonlocal4_2.{g,phi,W}.0` + `W.1` BN), SE blocks with Linear fc1/fc2 and a
+# `downchannel` Sequential, deep-supervision heads (`dsvN.dsv.0`), the CBAM
+# scale-attention tree (`scale_att.cbam.{ChannelGate.mlp.{1,3},
+# SpatialGate.conv{1,2}.{conv,bn}}`) and a `final.{0}` Sequential.  Our flax
+# scopes keep the reference's attribute names (models/canet.py) with
+# ops.layers.BatchNorm one scope deeper (`.bn.`) except where the flax model
+# uses nn.BatchNorm directly (nonlocal W_bn, SpatialAtten conv1_bn).  Linear
+# layers ride the generic 2D-weight -> dense path.
+_CANET_TO_ATTR = (
+    (re.compile(r"^scale_att\.cbam\.ChannelGate\.mlp\.1\."),
+     "scale_att.channel_gate.fc1."),
+    (re.compile(r"^scale_att\.cbam\.ChannelGate\.mlp\.3\."),
+     "scale_att.channel_gate.fc2."),
+    (re.compile(r"^scale_att\.cbam\.SpatialGate\.conv1\.conv\."),
+     "scale_att.spatial_gate.conv1_conv."),
+    (re.compile(r"^scale_att\.cbam\.SpatialGate\.conv1\.bn\."),
+     "scale_att.spatial_gate.conv1_bn."),
+    (re.compile(r"^scale_att\.cbam\.SpatialGate\.conv2\.conv\."),
+     "scale_att.spatial_gate.conv2_conv."),
+    (re.compile(r"^scale_att\.bn3\."), "scale_att.bn3.bn."),
+    (re.compile(r"^nonlocal4_2\.g\.0\."), "nonlocal4_2.g."),
+    (re.compile(r"^nonlocal4_2\.phi\.0\."), "nonlocal4_2.phi."),
+    (re.compile(r"^nonlocal4_2\.W\.0\."), "nonlocal4_2.W_conv."),
+    (re.compile(r"^nonlocal4_2\.W\.1\."), "nonlocal4_2.W_bn."),
+    (re.compile(r"^(attentionblock\d\.gate_block_\d)\.W\.0\."), r"\1.W_conv."),
+    (re.compile(r"^(attentionblock\d\.gate_block_\d)\.W\.1\."), r"\1.W_bn.bn."),
+    (re.compile(r"^(attentionblock\d)\.combine_gates\.0\."), r"\1.combine_conv."),
+    (re.compile(r"^(attentionblock\d)\.combine_gates\.1\."), r"\1.combine_bn.bn."),
+    (re.compile(r"^(up\d)\.bn(\d)\."), r"\1.bn\2.bn."),
+    (re.compile(r"^(up\d)\.downchannel\.0\."), r"\1.downchannel_conv."),
+    (re.compile(r"^(up\d)\.downchannel\.1\."), r"\1.downchannel_bn.bn."),
+    (re.compile(r"^(dsv\d)\.dsv\.0\."), r"\1.conv."),
+    (re.compile(r"^final\.0\."), "final."),
+    (re.compile(r"^((?:conv\d|center))\.conv\.0\."), r"\1.conv1."),
+    (re.compile(r"^((?:conv\d|center))\.conv\.1\."), r"\1.bn1.bn."),
+    (re.compile(r"^((?:conv\d|center))\.conv\.3\."), r"\1.conv2."),
+    (re.compile(r"^((?:conv\d|center))\.conv\.4\."), r"\1.bn2.bn."),
+)
+_ATTR_TO_CANET = (
+    (re.compile(r"^scale_att\.channel_gate\.fc1\."),
+     "scale_att.cbam.ChannelGate.mlp.1."),
+    (re.compile(r"^scale_att\.channel_gate\.fc2\."),
+     "scale_att.cbam.ChannelGate.mlp.3."),
+    (re.compile(r"^scale_att\.spatial_gate\.conv1_conv\."),
+     "scale_att.cbam.SpatialGate.conv1.conv."),
+    (re.compile(r"^scale_att\.spatial_gate\.conv1_bn\."),
+     "scale_att.cbam.SpatialGate.conv1.bn."),
+    (re.compile(r"^scale_att\.spatial_gate\.conv2_conv\."),
+     "scale_att.cbam.SpatialGate.conv2.conv."),
+    (re.compile(r"^scale_att\.bn3\.bn\."), "scale_att.bn3."),
+    (re.compile(r"^nonlocal4_2\.g\."), "nonlocal4_2.g.0."),
+    (re.compile(r"^nonlocal4_2\.phi\."), "nonlocal4_2.phi.0."),
+    (re.compile(r"^nonlocal4_2\.W_conv\."), "nonlocal4_2.W.0."),
+    (re.compile(r"^nonlocal4_2\.W_bn\."), "nonlocal4_2.W.1."),
+    (re.compile(r"^(attentionblock\d\.gate_block_\d)\.W_conv\."), r"\1.W.0."),
+    (re.compile(r"^(attentionblock\d\.gate_block_\d)\.W_bn\.bn\."), r"\1.W.1."),
+    (re.compile(r"^(attentionblock\d)\.combine_conv\."), r"\1.combine_gates.0."),
+    (re.compile(r"^(attentionblock\d)\.combine_bn\.bn\."), r"\1.combine_gates.1."),
+    (re.compile(r"^(up\d)\.bn(\d)\.bn\."), r"\1.bn\2."),
+    (re.compile(r"^(up\d)\.downchannel_conv\."), r"\1.downchannel.0."),
+    (re.compile(r"^(up\d)\.downchannel_bn\.bn\."), r"\1.downchannel.1."),
+    (re.compile(r"^(dsv\d)\.conv\."), r"\1.dsv.0."),
+    (re.compile(r"^final\."), "final.0."),
+    (re.compile(r"^((?:conv\d|center))\.conv1\."), r"\1.conv.0."),
+    (re.compile(r"^((?:conv\d|center))\.bn1\.bn\."), r"\1.conv.1."),
+    (re.compile(r"^((?:conv\d|center))\.conv2\."), r"\1.conv.3."),
+    (re.compile(r"^((?:conv\d|center))\.bn2\.bn\."), r"\1.conv.4."),
+)
+
 
 def _rename(key: str, rules) -> str:
     for pat, repl in rules:
@@ -347,6 +420,18 @@ def export_resnet_fcn_state_dict(variables) -> Dict[str, np.ndarray]:
             for k, v in export_reference_state_dict(variables).items()}
 
 
+def convert_canet_state_dict(state_dict: Dict[str, Any]):
+    """Comprehensive_Atten_Unet (CA-Net) torch state_dict (reference
+    archs.py:844-959) -> flax variables."""
+    return _convert_with(state_dict, _CANET_TO_ATTR)
+
+
+def export_canet_state_dict(variables) -> Dict[str, np.ndarray]:
+    """Inverse of convert_canet_state_dict."""
+    return {_rename(k, _ATTR_TO_CANET): v
+            for k, v in export_reference_state_dict(variables).items()}
+
+
 def convert_attention_unet_state_dict(state_dict: Dict[str, Any]):
     """AttU_Net / R2U_Net / R2AttU_Net torch state_dict (reference
     archs.py:1322-1474 naming) -> flax variables."""
@@ -369,7 +454,20 @@ def converters_for_arch(arch: str):
 
     The flagship family keys by named attributes and needs no shim; the CRDN
     and attention-UNet families need the index->attribute renames above."""
-    if arch in ("UNetRNN",):
+    if arch in ("UNetRNN", "UNetRNNCAttention", "UNetRNNAttention",
+                "UNetRNNPAttention"):
+        # The dual-attention variants share UNetRNN's CRDN key layout plus
+        # gamma leaves, which the generic converter handles:
+        #   - UNetRNNCAttention round-trips fully (CAM_Module{i}.gamma).
+        #   - UNetRNNAttention: the reference builds its PAM/CAM modules
+        #     inside forward (archs_backup.py:950-962), so its checkpoints
+        #     carry NO attention params; convert.py synthesizes gamma=0
+        #     init-equivalents (bitwise-identical semantics at gamma=0).
+        #   - UNetRNNPAttention: reference checkpoints cannot exist — its
+        #     PAM convs are built with filters[i] channels but applied to
+        #     n_classes-channel maps (archs_backup.py:997-1001 vs
+        #     :1053-1067), so every forward crashes; a conversion attempt
+        #     fails loudly at shape validation.
         return convert_crdn_state_dict, export_crdn_state_dict
     if arch in ("UNetRM3", "UNetRM7"):
         return convert_crdn_state_dict, export_rm_state_dict
@@ -378,6 +476,8 @@ def converters_for_arch(arch: str):
     if arch in ("AttU_Net", "R2U_Net", "R2AttU_Net"):
         return (convert_attention_unet_state_dict,
                 export_attention_unet_state_dict)
+    if arch in ("Comprehensive_Atten_Unet",):
+        return convert_canet_state_dict, export_canet_state_dict
     if arch in ("ResNetRNN", "ResNet18RNN", "ResNet34RNN", "ResNet50RNN",
                 "ResNet101RNN", "ResNet152RNN"):
         return convert_resnet_rnn_state_dict, export_resnet_rnn_state_dict
@@ -419,11 +519,19 @@ def convert_reference_state_dict(state_dict: Dict[str, Any]):
         arr = _as_numpy(value)
         # conv weight is 4D; a 1D bias belongs to a conv iff its sibling
         # weight is 4D; everything else 1D is batch-norm affine/stats
-        if leaf == "weight" and arr.ndim == 4:
+        if leaf == "gamma":
+            # PAM/CAM residual gate scalar (reference archs_backup.py:884,921)
+            insert(params, tuple(mods) + ("gamma",), arr)
+        elif leaf == "weight" and arr.ndim == 4:
             insert(params, tuple(mods) + ("conv", "kernel"),
                    arr.transpose(2, 3, 1, 0))  # OIHW -> HWIO
-        elif leaf == "bias" and _sibling_is_conv(state_dict, mods):
+        elif leaf == "weight" and arr.ndim == 2:
+            # torch nn.Linear (out, in) -> flax Dense kernel (in, out)
+            insert(params, tuple(mods) + ("dense", "kernel"), arr.T)
+        elif leaf == "bias" and _sibling_weight_ndim(state_dict, mods) == 4:
             insert(params, tuple(mods) + ("conv", "bias"), arr)
+        elif leaf == "bias" and _sibling_weight_ndim(state_dict, mods) == 2:
+            insert(params, tuple(mods) + ("dense", "bias"), arr)
         elif leaf in ("weight", "bias"):
             insert(params, tuple(mods) + (_BN_LEAVES[leaf],), arr)
         elif leaf in ("running_mean", "running_var"):
@@ -433,12 +541,14 @@ def convert_reference_state_dict(state_dict: Dict[str, Any]):
     return {"params": params, "batch_stats": stats}
 
 
-def _sibling_is_conv(state_dict, mods) -> bool:
+def _sibling_weight_ndim(state_dict, mods):
+    """ndim of the `.weight` beside a `.bias`: 4 = conv, 2 = linear,
+    1 = batch-norm affine, None = no sibling."""
     for prefix in (".".join(mods), "module." + ".".join(mods)):
         w = state_dict.get(prefix + ".weight")
         if w is not None:
-            return _as_numpy(w).ndim == 4
-    return False
+            return _as_numpy(w).ndim
+    return None
 
 
 def export_reference_state_dict(variables) -> Dict[str, np.ndarray]:
@@ -451,7 +561,15 @@ def export_reference_state_dict(variables) -> Dict[str, np.ndarray]:
                 walk(v, path + (k,), collection)
                 continue
             arr = np.asarray(v)
-            if path and path[-1] == "conv" or (k == "kernel"):
+            if k == "gamma":  # PAM/CAM residual gate scalar
+                out[".".join(path) + ".gamma"] = arr
+            elif path and path[-1] == "dense":
+                base = ".".join(path[:-1])
+                if k == "kernel":  # flax (in, out) -> torch Linear (out, in)
+                    out[base + ".weight"] = arr.T
+                else:
+                    out[base + ".bias"] = arr
+            elif path and path[-1] == "conv" or (k == "kernel"):
                 base = ".".join(path[:-1] if path[-1] == "conv" else path)
                 if k == "kernel":
                     out[base + ".weight"] = arr.transpose(3, 2, 0, 1)
