@@ -20,7 +20,11 @@ unetConv2/score_block/ghost keys, reference finished/archs1.py:214-360,
 archs_backup.py:430-871), the dual-attention variants (UNetRNNCAttention
 full round-trip; UNetRNNAttention with synthesized gamma=0 attention params,
 since the reference builds its PAM/CAM inside forward and never checkpoints
-them, archs_backup.py:950-962), the attention family (AttU_Net / R2U_Net /
+them, archs_backup.py:950-962), the PSP hybrids (UNetRNNCAttention_PSP /
+UNetRNNPSP — trunk + CAM gammas round-trip; the refinement net the reference
+rebuilds randomly inside every forward, archs_backup.py:1533-1537, is
+synthesized from init or grafted from released CascadePSP weights via
+--refine_pth, and dropped on export), the attention family (AttU_Net / R2U_Net /
 R2AttU_Net, reference archs.py:1322-1474) and CA-Net
 (Comprehensive_Atten_Unet, reference archs.py:844-959 — conv_block/gate/SE/
 CBAM Sequentials and Linear MLPs) via the per-arch key shims in
@@ -62,6 +66,13 @@ def parse_args(argv=None):
     p.add_argument('--mask_ext', default='.png')
     p.add_argument('--dataset_layout', default='generic',
                    choices=['generic', 'isic'])
+    p.add_argument('--refine_pth', default=None, metavar='PATH',
+                   help='for the PSP-hybrid archs (UNetRNNCAttention_PSP / '
+                        'UNetRNNPSP): populate the in-model refinement '
+                        'submodule from a CascadePSP torch checkpoint (e.g. '
+                        'the released weights) instead of fresh init — the '
+                        'reference never checkpoints it (it builds a random '
+                        'PSPNet inside forward, archs_backup.py:1533-1537)')
     p.add_argument('--precision', default='fp32', choices=['bf16', 'fp32'])
     p.add_argument('--output_dir', default='models')
     p.add_argument('--platform', default='default',
@@ -84,6 +95,22 @@ def _tree_paths(tree, prefix=()):
 # framework creates only the live gates (models/rdc.py).  Imports prune the
 # dead branches — and nothing else — from the converted tree.
 _DEAD_RDC_GATES = ('gru_catconv', 'gru_conv', 'lstm_catconv', 'vanilla_conv')
+
+# Archs whose reference class constructs part of itself inside `forward`, so
+# its checkpoints cannot carry those tensors; imports synthesize them from
+# this model's init.  arch -> (missing-key regex, explanation printed).
+_PSP_SYNTH_NOTE = (
+    "refinement tensors the reference builds as a FRESH RANDOM PSPNet inside "
+    "every forward (archs_backup.py:1533-1537) — fixed init here, trainable; "
+    "graft the released CascadePSP weights with --refine_pth")
+_SYNTHESIZABLE = {
+    'UNetRNNAttention': (
+        re.compile(r'(^|/)attention_block\d+/(pam|cam)(/|$)'),
+        "untrained dual-attention tensors the reference builds at forward "
+        "time (gamma=0: attention is a no-op, semantics preserved)"),
+    'UNetRNNCAttention_PSP': (re.compile(r'(^|/)psp/'), _PSP_SYNTH_NOTE),
+    'UNetRNNPSP': (re.compile(r'(^|/)psp/'), _PSP_SYNTH_NOTE),
+}
 
 
 def _prune_paths(tree, paths):
@@ -115,14 +142,11 @@ def _validate_against_model(variables, config):
     want = dict(_tree_paths({k: ref[k] for k in ('params', 'batch_stats')}))
     got = dict(_tree_paths({k: variables[k] for k in ('params', 'batch_stats')}))
     missing = sorted(set(want) - set(got))
-    # UNetRNNAttention: the reference constructs its PAM/CAM modules inside
-    # forward (archs_backup.py:950-962), so its checkpoints carry no attention
-    # params at all. Synthesize them from this model's init — gamma starts at
-    # 0 in both frameworks, which makes the attention path a numerical no-op,
-    # i.e. the synthesized capsule reproduces the reference forward exactly.
-    synth = [k for k in missing
-             if config['arch'] == 'UNetRNNAttention'
-             and re.search(r'(^|/)attention_block\d+/(pam|cam)(/|$)', k)]
+    # Some reference classes construct submodules inside `forward` (see
+    # _SYNTHESIZABLE), so their checkpoints cannot carry those tensors.
+    # Synthesize the missing subtree from this model's init.
+    rule = _SYNTHESIZABLE.get(config['arch'])
+    synth = [k for k in missing if rule and rule[0].search(k)]
     if synth:
         for key in synth:
             parts = key.split('/')
@@ -136,9 +160,7 @@ def _validate_against_model(variables, config):
         missing = [k for k in missing if k not in synth]
         got = dict(_tree_paths({k: variables[k]
                                 for k in ('params', 'batch_stats')}))
-        print(f"synthesized {len(synth)} untrained dual-attention tensors the "
-              f"reference builds at forward time (gamma=0: attention is a "
-              f"no-op, semantics preserved)")
+        print(f"synthesized {len(synth)} {rule[1]}")
     extra = sorted(set(got) - set(want))
     dead = [k for k in extra
             if any(g in k.split('/') for g in _DEAD_RDC_GATES)]
@@ -203,8 +225,20 @@ def main(argv=None):
 
     if not args['pth']:
         sys.exit('--pth PATH required (or --export)')
+    if args['refine_pth'] and args['arch'] not in ('UNetRNNCAttention_PSP',
+                                                   'UNetRNNPSP'):
+        sys.exit('--refine_pth only applies to the PSP-hybrid archs '
+                 '(UNetRNNCAttention_PSP / UNetRNNPSP)')
     sd = _load_state_dict(args['pth'])
     variables = converters_for_arch(args['arch'])[0](sd)
+
+    if args['refine_pth']:
+        from pytorch_nested_unet_tpu.refinement import convert_torch_state_dict
+        refine = convert_torch_state_dict(_load_state_dict(args['refine_pth']))
+        variables['params']['psp'] = refine['params']
+        variables['batch_stats']['psp'] = refine['batch_stats']
+        print(f"grafted CascadePSP refinement weights from "
+              f"{args['refine_pth']} into the psp submodule")
 
     config = {k: args[k] for k in
               ('arch', 'arch_kwargs', 'deep_supervision', 'num_classes',

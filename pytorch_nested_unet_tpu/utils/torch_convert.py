@@ -432,6 +432,17 @@ def export_canet_state_dict(variables) -> Dict[str, np.ndarray]:
             for k, v in export_reference_state_dict(variables).items()}
 
 
+def export_psp_hybrid_state_dict(variables) -> Dict[str, np.ndarray]:
+    """UNetRNNCAttention_PSP / UNetRNNPSP flax variables -> reference torch
+    state_dict (archs_backup.py:1397-1544, :1719-1849).  The reference builds
+    its refinement PSPNet INSIDE forward (archs_backup.py:1533-1537,
+    :1842-1844), so its state_dict carries only the CRDN trunk (+ CAM gammas
+    for the CAttention variant) — the `psp` submodule is dropped on export."""
+    trunk = {coll: {k: v for k, v in variables[coll].items() if k != "psp"}
+             for coll in ("params", "batch_stats")}
+    return export_crdn_state_dict(trunk)
+
+
 def convert_attention_unet_state_dict(state_dict: Dict[str, Any]):
     """AttU_Net / R2U_Net / R2AttU_Net torch state_dict (reference
     archs.py:1322-1474 naming) -> flax variables."""
@@ -469,6 +480,13 @@ def converters_for_arch(arch: str):
         #     :1053-1067), so every forward crashes; a conversion attempt
         #     fails loudly at shape validation.
         return convert_crdn_state_dict, export_crdn_state_dict
+    if arch in ("UNetRNNCAttention_PSP", "UNetRNNPSP"):
+        # CRDN trunk (+ CAM gammas) in the checkpoint; the reference's
+        # refinement net is a fresh random PSPNet built inside every forward
+        # (archs_backup.py:1533-1537, :1842-1844) and never checkpointed —
+        # convert.py synthesizes the `psp` subtree (or grafts released
+        # CascadePSP weights via --refine_pth); export drops it.
+        return convert_crdn_state_dict, export_psp_hybrid_state_dict
     if arch in ("UNetRM3", "UNetRM7"):
         return convert_crdn_state_dict, export_rm_state_dict
     if arch in ("UNetRNNGhost",):
