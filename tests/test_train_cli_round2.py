@@ -204,3 +204,44 @@ def test_arch_kwargs_nested_lists_freeze():
     kw = models.parse_arch_kwargs("DeepLab", '{"layers": [[1, 1], [2, 2]]}')
     assert kw == {"layers": ((1, 1), (2, 2))}
     hash(kw["layers"])  # hashable for flax dataclass fields
+
+
+def test_init_from_capsule_finetunes_imported_weights(synth_root, capsys):
+    """--init_from: start training from an existing capsule's weights (the
+    convert.py fine-tune journey) with a fresh optimizer. With lr=0 the
+    params must pass through one epoch untouched — proof the capsule weights
+    (not a fresh init) seeded the run."""
+    from flax import serialization
+
+    import train as train_cli
+
+    train_cli.main(_args(synth_root, ["--arch=UNet", "--name=init_src"]))
+    src = synth_root / "models" / "init_src"
+    assert (src / "model.msgpack").is_file()
+
+    train_cli.main(_args(synth_root, [
+        "--arch=UNet", "--name=init_dst", "--init_from=init_src",
+        "--optimizer=SGD", "--lr=0", "--scheduler=ConstantLR", "--epochs=1"]))
+    assert "initialized weights from" in capsys.readouterr().out
+
+    def params_of(path):
+        with open(path, "rb") as f:
+            return serialization.msgpack_restore(f.read())["params"]
+
+    a = params_of(src / "model.msgpack")
+    b = params_of(synth_root / "models" / "init_dst" / "model.msgpack")
+    flat_a = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(a)}
+    flat_b = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(b)}
+    assert flat_a.keys() == flat_b.keys()
+    for k in flat_a:
+        np.testing.assert_array_equal(flat_a[k], flat_b[k], err_msg=k)
+
+
+def test_init_from_wrong_arch_fails_loudly(synth_root):
+    import train as train_cli
+
+    with pytest.raises(SystemExit, match="--init_from"):
+        train_cli.main(_args(synth_root, [
+            "--arch=NestedUNet", "--name=init_bad", "--init_from=init_src"]))

@@ -8,7 +8,9 @@ Example (reference README protocol):
 Same outputs as the reference: models/<name>/{config.yml, log.csv} and a
 best-val-IoU checkpoint (model.msgpack = model.pth analogue); name convention
 <dataset>_<arch>_{w,wo}DS (reference trains.py:194-198). Extras: --data_dir,
---precision bf16|fp32, --seed, --resume, --spatial_partition, --dataset_layout.
+--precision bf16|fp32, --seed, --resume, --init_from (fine-tune a capsule,
+e.g. one imported from a reference .pth by convert.py), --spatial_partition,
+--dataset_layout.
 """
 
 import argparse
@@ -190,6 +192,12 @@ def parse_args(argv=None):
                              'ImageNet-init surgery, cascadePSP extractors.py:12-33); '
                              'valid for the ResNet-backbone archs and the '
                              'PSP-hybrid refinement trunks')
+    parser.add_argument('--init_from', default=None, metavar='CAPSULE',
+                        help='initialize model weights from an existing '
+                             'models/<name> capsule (a name under --output_dir '
+                             'or a directory path) — e.g. fine-tune a '
+                             'reference checkpoint imported with convert.py. '
+                             'Fresh optimizer/epoch state (unlike --resume)')
     parser.add_argument('--arch_kwargs', default=None, metavar='JSON',
                         help='extra keyword arguments for the model '
                              'constructor as a JSON object, e.g. '
@@ -375,6 +383,22 @@ def main(argv=None):
     sample = jnp.zeros((2, *size_hw, config['input_channels']), jnp.float32)
     variables = model.init(jax.random.PRNGKey(config['seed']), sample, train=True)
     print(f"arch {config['arch']}: {count_params(variables['params']):,} params")
+
+    if config.get('init_from'):
+        src = config['init_from']
+        if not os.path.isdir(src):
+            src = os.path.join(config['output_dir'], src)
+        if not os.path.isfile(os.path.join(src, 'model.msgpack')):
+            sys.exit(f"--init_from: no model.msgpack under {src}")
+        try:
+            restored = checkpoint.load_model(
+                src, {'params': variables['params'],
+                      'batch_stats': variables['batch_stats']})
+        except (KeyError, ValueError) as e:
+            sys.exit(f"--init_from: {src} does not match arch "
+                     f"{config['arch']} ({e})")
+        variables = dict(variables, **restored)
+        print(f"initialized weights from {src} (fresh optimizer state)")
 
     if config.get('pretrained_backbone'):
         from pytorch_nested_unet_tpu.utils.pretrained import (
