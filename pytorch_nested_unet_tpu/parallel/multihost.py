@@ -6,8 +6,13 @@ program, `jax.distributed.initialize` forms the global runtime, a global mesh
 spans all chips, and GSPMD/pjit handles cross-host collectives over ICI/DCN —
 the same train step used single-chip runs unchanged.
 
-Not exercisable in this single-host environment; the sharding semantics are
-covered by the 8-virtual-device mesh tests and `__graft_entry__.dryrun_multichip`.
+train.py calls `initialize_distributed()` at startup (a no-op single-process)
+and gates file writes to process 0; everything else — the replicated
+DeviceDataStore, the seeded batch schedule, the pjit train step — is already
+SPMD-consistent across processes, so the cross-host collectives come out of
+the same GSPMD machinery the 8-virtual-device mesh tests cover.
+tests/test_multihost.py runs a REAL 2-process training job over CPU+Gloo
+and checks it reproduces the single-process run.
 """
 
 import os
@@ -30,6 +35,10 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
         num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
     if num_processes <= 1 and coordinator_address is None:
         return False
+    try:  # CPU backends need Gloo for cross-process collectives; harmless else
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:
+        pass
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

@@ -2,6 +2,8 @@
 (the cross-host semantics ride the same GSPMD machinery the 8-virtual-device
 mesh tests cover; see parallel/multihost.py docstring)."""
 
+import os
+
 import jax
 import numpy as np
 import pytest
@@ -39,3 +41,82 @@ def test_make_global_array_shards_over_mesh():
     assert arr.shape == (16, 3)
     assert len(arr.sharding.device_set) == 8
     np.testing.assert_array_equal(np.asarray(arr), local)
+
+
+def test_two_process_training_matches_single_process(tmp_path):
+    """REAL multi-host training: two OS processes form a jax.distributed
+    runtime over CPU+Gloo, train the same job on a cross-process
+    {'data': 2} mesh, and must reproduce the single-process run's losses
+    (GSPMD data-parallel changes nothing but the reduction layout). Only
+    process 0 writes the capsule."""
+    import socket
+    import subprocess
+    import sys as _sys
+
+    import cv2
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    img_dir = tmp_path / "inputs" / "synth" / "images"
+    mask_dir = tmp_path / "inputs" / "synth" / "masks" / "0"
+    img_dir.mkdir(parents=True)
+    mask_dir.mkdir(parents=True)
+    for i in range(12):
+        img = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+        yy, xx = np.mgrid[0:32, 0:32]
+        cy, cx = rng.integers(10, 22, 2)
+        mask = (((yy - cy) ** 2 + (xx - cx) ** 2) < 25).astype(np.uint8) * 255
+        img[mask > 0] = 220
+        cv2.imwrite(str(img_dir / f"im{i:02d}.png"), img)
+        cv2.imwrite(str(mask_dir / f"im{i:02d}.png"), mask)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    def args(name):
+        return [_sys.executable, os.path.join(os.path.dirname(__file__),
+                                              "..", "train.py"),
+                f"--data_dir={tmp_path / 'inputs'}",
+                f"--output_dir={tmp_path / name}",
+                "--dataset=synth", "--arch=UNet", "--name=run",
+                "--input_w=32", "--input_h=32", "--epochs=2", "--batch_size=8",
+                "--optimizer=Adam", "--precision=fp32", "--platform=cpu"]
+
+    env = {k: v for k, v in os.environ.items() if k != "JAX_NUM_PROCESSES"}
+    env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+    env["JAX_NUM_PROCESSES"] = "2"
+    procs = []
+    for pid in range(2):
+        e = dict(env, JAX_PROCESS_ID=str(pid))
+        procs.append(subprocess.Popen(args("mh"), env=e,
+                                      stdout=subprocess.PIPE,
+                                      stderr=subprocess.STDOUT, text=True))
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out[-3000:]}"
+    assert "multi-host: process 0/2" in outs[0]
+    assert "mesh: {'data': 2}" in outs[0]  # one device per process, spanned
+
+    run = tmp_path / "mh" / "run"
+    assert (run / "log.csv").is_file() and (run / "model.msgpack").is_file()
+
+    # single-process reference with identical seed/config; --mesh=data=1
+    # keeps it on the same per-step pjit path (and RNG key schedule) as the
+    # distributed run — the 1-device default would take the epoch-scan path
+    sp = subprocess.run(args("sp") + ["--mesh=data=1"], env=dict(os.environ),
+                        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                        text=True, timeout=900)
+    assert sp.returncode == 0, sp.stdout[-3000:]
+    a = pd.read_csv(run / "log.csv")
+    b = pd.read_csv(tmp_path / "sp" / "run" / "log.csv")
+    for col in ("loss", "val_loss"):
+        np.testing.assert_allclose(a[col], b[col], rtol=2e-4, atol=2e-5,
+                                   err_msg=col)
+    # IoU thresholds sigmoid(logit) at 0.5 — a discontinuous metric: the
+    # cross-process reduction layout reassociates float sums, and on a
+    # barely-trained model many pixels sit at the threshold, so single-ulp
+    # drift flips whole pixels. Losses above pin the numerics; IoU gets a
+    # discontinuity allowance.
+    for col in ("iou", "val_iou"):
+        np.testing.assert_allclose(a[col], b[col], atol=0.02, err_msg=col)

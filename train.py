@@ -326,6 +326,17 @@ def main(argv=None):
     config = parse_args(argv)
     configure_backend(config.get('platform', 'default'))
 
+    # Multi-host: each host runs this same program; the coordinator env vars
+    # (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID) form the
+    # global runtime and the mesh below spans every process's chips. All hosts
+    # execute the identical SPMD schedule (same seed -> same batch indices over
+    # the replicated data store); only process 0 writes files.
+    from pytorch_nested_unet_tpu.parallel.multihost import initialize_distributed
+    if initialize_distributed():
+        print(f"multi-host: process {jax.process_index()}/{jax.process_count()}, "
+              f"{jax.local_device_count()}/{jax.device_count()} local/global devices")
+    is_main = jax.process_index() == 0
+
     if config['name'] is None:
         tag = 'wDS' if config['deep_supervision'] else 'woDS'
         config['name'] = f"{config['dataset']}_{config['arch']}_{tag}"
@@ -336,7 +347,8 @@ def main(argv=None):
     for k in sorted(config):
         print(f'{k}: {config[k]}')
     print('-' * 20)
-    save_config(config, model_dir)
+    if is_main:
+        save_config(config, model_dir)
 
     dtype = jnp.bfloat16 if config['precision'] == 'bf16' else None
     extra = {}
@@ -511,7 +523,7 @@ def main(argv=None):
         state = state.replace(opt_state=set_learning_rate(state.opt_state, lr))
         t0 = time.time()
 
-        profiling = config.get('profile') and epoch == start_epoch
+        profiling = config.get('profile') and epoch == start_epoch and is_main
         if profiling:
             jax.profiler.start_trace(config['profile'])
 
@@ -657,15 +669,18 @@ def main(argv=None):
         if config['log_acc']:
             log['acc'].append(tr_meters['acc'].avg)
             log['val_acc'].append(va_meters['acc'].avg)
-        pd.DataFrame(log).to_csv(log_path, index=False)
+        if is_main:
+            pd.DataFrame(log).to_csv(log_path, index=False)
 
         trigger += 1
         if va_meters['iou'].avg > best_iou:
-            checkpoint.save_model(model_dir, state.params, state.batch_stats)
+            if is_main:
+                checkpoint.save_model(model_dir, state.params, state.batch_stats)
+                print("=> saved best model")
             best_iou = va_meters['iou'].avg
-            print("=> saved best model")
             trigger = 0
-        save_state_fn(model_dir, state, epoch, best_iou, trigger)
+        if is_main:
+            save_state_fn(model_dir, state, epoch, best_iou, trigger)
 
         if 0 <= config['early_stopping'] <= trigger:
             print("=> early stopping")
