@@ -12,7 +12,10 @@ DeviceDataStore, the seeded batch schedule, the pjit train step — is already
 SPMD-consistent across processes, so the cross-host collectives come out of
 the same GSPMD machinery the 8-virtual-device mesh tests cover.
 tests/test_multihost.py runs a REAL 2-process training job over CPU+Gloo
-and checks it reproduces the single-process run.
+and checks it reproduces the single-process run.  `--pipeline host` is also
+multi-host-consistent as-is: every process loads the identical seeded batch
+stream, so the host-fed arrays are replicated inputs that GSPMD reshards onto
+the global mesh (verified with a 2-process host-pipeline run).
 """
 
 import os
