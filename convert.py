@@ -121,11 +121,14 @@ def _prune_paths(tree, paths):
         del node[path[-1]]
 
 
-def _validate_against_model(variables, config):
+def _validate_against_model(variables, config, allow_psp_synth=True):
     """Init the target model and check the converted tree matches its
     structure + shapes exactly, so a wrong --arch/--deep_supervision fails
     loudly here instead of at predict time.  Extra keys are fatal unless they
-    are the reference's dead RDC gate convs, which are pruned."""
+    are the reference's dead RDC gate convs, which are pruned.
+    allow_psp_synth=False (a --refine_pth graft happened): missing psp keys
+    mean the provided CascadePSP checkpoint was incomplete — fail instead of
+    silently mixing released weights with random init."""
     import jax
     import jax.numpy as jnp
 
@@ -146,6 +149,8 @@ def _validate_against_model(variables, config):
     # _SYNTHESIZABLE), so their checkpoints cannot carry those tensors.
     # Synthesize the missing subtree from this model's init.
     rule = _SYNTHESIZABLE.get(config['arch'])
+    if rule and rule[0].pattern == r'(^|/)psp/' and not allow_psp_synth:
+        rule = None
     synth = [k for k in missing if rule and rule[0].search(k)]
     if synth:
         for key in synth:
@@ -212,6 +217,10 @@ def main(argv=None):
     if args['export']:
         if not args['name']:
             sys.exit('--export requires --name')
+        if args['refine_pth']:
+            sys.exit('--refine_pth is an import-time graft; it has no '
+                     'meaning with --export (the reference classes carry no '
+                     'refinement params to export into)')
         import torch
 
         model_dir = os.path.join(args['output_dir'], args['name'])
@@ -244,7 +253,8 @@ def main(argv=None):
               ('arch', 'arch_kwargs', 'deep_supervision', 'num_classes',
                'input_channels', 'input_w', 'input_h', 'dataset', 'img_ext',
                'mask_ext', 'dataset_layout', 'precision')}
-    _validate_against_model(variables, config)
+    _validate_against_model(variables, config,
+                            allow_psp_synth=not args['refine_pth'])
 
     if not args['name']:
         tag = 'wDS' if config['deep_supervision'] else 'woDS'

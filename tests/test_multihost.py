@@ -87,12 +87,20 @@ def test_two_process_training_matches_single_process(tmp_path):
     env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
     env["JAX_NUM_PROCESSES"] = "2"
     procs = []
-    for pid in range(2):
-        e = dict(env, JAX_PROCESS_ID=str(pid))
-        procs.append(subprocess.Popen(args("mh"), env=e,
-                                      stdout=subprocess.PIPE,
-                                      stderr=subprocess.STDOUT, text=True))
-    outs = [p.communicate(timeout=900)[0] for p in procs]
+    try:
+        for pid in range(2):
+            e = dict(env, JAX_PROCESS_ID=str(pid))
+            procs.append(subprocess.Popen(args("mh"), env=e,
+                                          stdout=subprocess.PIPE,
+                                          stderr=subprocess.STDOUT, text=True))
+        outs = [p.communicate(timeout=900)[0] for p in procs]
+    finally:
+        # a hung collective (or a stolen port) must not leak two live
+        # train.py processes into the rest of the suite
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out[-3000:]}"
     assert "multi-host: process 0/2" in outs[0]
@@ -120,3 +128,70 @@ def test_two_process_training_matches_single_process(tmp_path):
     # discontinuity allowance.
     for col in ("iou", "val_iou"):
         np.testing.assert_allclose(a[col], b[col], atol=0.02, err_msg=col)
+
+
+def test_multihost_resume_broadcasts_process0_state(tmp_path):
+    """Preemption-resume without a shared filesystem: only process 0 has
+    last.msgpack (it is the only writer); on --resume every process must
+    adopt process 0's broadcast state instead of silently starting from
+    epoch 0 (which would desynchronize the SPMD schedule)."""
+    import socket
+    import subprocess
+    import sys as _sys
+
+    import cv2
+    import pandas as pd
+
+    rng = np.random.default_rng(5)
+    img_dir = tmp_path / "inputs" / "synth" / "images"
+    mask_dir = tmp_path / "inputs" / "synth" / "masks" / "0"
+    img_dir.mkdir(parents=True)
+    mask_dir.mkdir(parents=True)
+    for i in range(12):
+        img = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+        cv2.imwrite(str(img_dir / f"im{i:02d}.png"), img)
+        cv2.imwrite(str(mask_dir / f"im{i:02d}.png"),
+                    ((img[:, :, 0] > 128) * 255).astype(np.uint8))
+
+    def run_two(extra):
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        env = {k: v for k, v in os.environ.items() if k != "JAX_NUM_PROCESSES"}
+        env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+        env["JAX_NUM_PROCESSES"] = "2"
+        procs = []
+        try:
+            for pid in range(2):
+                # per-process output dirs = no shared filesystem
+                a = [_sys.executable,
+                     os.path.join(os.path.dirname(__file__), "..", "train.py"),
+                     f"--data_dir={tmp_path / 'inputs'}",
+                     f"--output_dir={tmp_path / f'out{pid}'}",
+                     "--dataset=synth", "--arch=UNet", "--name=run",
+                     "--input_w=32", "--input_h=32", "--batch_size=8",
+                     "--optimizer=Adam", "--precision=fp32",
+                     "--platform=cpu"] + extra
+                procs.append(subprocess.Popen(
+                    a, env=dict(env, JAX_PROCESS_ID=str(pid)),
+                    stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                    text=True))
+            outs = [p.communicate(timeout=900)[0] for p in procs]
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+                    p.wait()
+        for pid, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"process {pid} failed:\n{out[-3000:]}"
+        return outs
+
+    run_two(["--epochs=2"])
+    assert (tmp_path / "out0" / "run" / "last.msgpack").is_file()
+    assert not (tmp_path / "out1" / "run" / "last.msgpack").exists()
+
+    outs = run_two(["--epochs=4", "--resume=true"])
+    for pid, out in enumerate(outs):
+        assert "resumed from epoch 1" in out, f"proc {pid}:\n{out[-2000:]}"
+    log = pd.read_csv(tmp_path / "out0" / "run" / "log.csv")
+    assert list(log["epoch"]) == [0, 1, 2, 3]

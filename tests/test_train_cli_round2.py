@@ -239,9 +239,27 @@ def test_init_from_capsule_finetunes_imported_weights(synth_root, capsys):
         np.testing.assert_array_equal(flat_a[k], flat_b[k], err_msg=k)
 
 
-def test_init_from_wrong_arch_fails_loudly(synth_root):
-    import train as train_cli
+def test_init_from_wrong_arch_fails_loudly(synth_root, tmp_path):
+    """Both mismatch classes must exit with the arch message: a different
+    tree structure (different arch) and — the subtle one — the same structure
+    with different leaf shapes (same arch, different num_classes), which
+    flax's from_bytes restores silently."""
+    import jax.numpy as jnp
 
-    with pytest.raises(SystemExit, match="--init_from"):
+    import train as train_cli
+    from pytorch_nested_unet_tpu import models
+    from pytorch_nested_unet_tpu.training import checkpoint
+
+    src = tmp_path / "capsule"
+    src.mkdir()
+    m = models.create_model("UNet", 1, 3, False)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=True)
+    checkpoint.save_model(str(src), v["params"], v["batch_stats"])
+
+    with pytest.raises(SystemExit, match="does not match arch"):
         train_cli.main(_args(synth_root, [
-            "--arch=NestedUNet", "--name=init_bad", "--init_from=init_src"]))
+            "--arch=NestedUNet", "--name=init_bad", f"--init_from={src}"]))
+    with pytest.raises(SystemExit, match="does not match arch"):
+        train_cli.main(_args(synth_root, [
+            "--arch=UNet", "--input_channels=4", "--name=init_bad2",
+            f"--init_from={src}"]))

@@ -332,7 +332,8 @@ def main(argv=None):
     # execute the identical SPMD schedule (same seed -> same batch indices over
     # the replicated data store); only process 0 writes files.
     from pytorch_nested_unet_tpu.parallel.multihost import initialize_distributed
-    if initialize_distributed():
+    multihost = initialize_distributed()
+    if multihost:
         print(f"multi-host: process {jax.process_index()}/{jax.process_count()}, "
               f"{jax.local_device_count()}/{jax.device_count()} local/global devices")
     is_main = jax.process_index() == 0
@@ -409,6 +410,22 @@ def main(argv=None):
         except (KeyError, ValueError) as e:
             sys.exit(f"--init_from: {src} does not match arch "
                      f"{config['arch']} ({e})")
+        # from_bytes checks tree structure but restores same-structure
+        # wrong-shaped leaves silently (e.g. a capsule trained with a
+        # different num_classes) — pin the shapes here, not inside the jit
+        wrong = [f"{jax.tree_util.keystr(kp)}: capsule {np.shape(a)} vs "
+                 f"model {np.shape(b)}"
+                 for (kp, a), (_, b) in zip(
+                     jax.tree_util.tree_leaves_with_path(restored),
+                     jax.tree_util.tree_leaves_with_path(
+                         {'params': variables['params'],
+                          'batch_stats': variables['batch_stats']}))
+                 if np.shape(a) != np.shape(b)]
+        if wrong:
+            sys.exit(f"--init_from: {src} does not match arch "
+                     f"{config['arch']} "
+                     f"(num_classes/input_channels/arch_kwargs differ): "
+                     + "; ".join(wrong[:3]))
         variables = dict(variables, **restored)
         print(f"initialized weights from {src} (fresh optimizer state)")
 
@@ -464,16 +481,40 @@ def main(argv=None):
 
     start_epoch, best_iou, trigger = 0, 0.0, 0
     if config['resume']:
-        try:
-            restored = load_state_fn(model_dir, state)
-        except (KeyError, ValueError) as e:
-            # flax restores into the current state's structure; a different
-            # optimizer stack changes it (e.g. resuming with --skip_nonfinite
-            # or --accum_steps when the run was started without them)
-            sys.exit(f"--resume: {model_dir}/last.msgpack does not match the "
-                     f"current optimizer state layout — "
-                     f"--optimizer/--skip_nonfinite/--accum_steps must match "
-                     f"the original run ({e})")
+        restored, load_err = None, None
+        if is_main or not multihost:
+            try:
+                restored = load_state_fn(model_dir, state)
+            except (KeyError, ValueError) as e:
+                # flax restores into the current state's structure; a different
+                # optimizer stack changes it (e.g. resuming with
+                # --skip_nonfinite or --accum_steps when the run was started
+                # without them)
+                load_err = (f"--resume: {model_dir}/last.msgpack does not "
+                            f"match the current optimizer state layout — "
+                            f"--optimizer/--skip_nonfinite/--accum_steps must "
+                            f"match the original run ({e})")
+                if not multihost:
+                    sys.exit(load_err)
+        if multihost:
+            # Only process 0 writes checkpoints, so only its copy is
+            # authoritative — hosts without a shared filesystem have nothing
+            # local, and letting each host resume (or not) from its own disk
+            # would desynchronize the SPMD schedule (different step counts →
+            # collective mismatch/hang). Broadcast process 0's outcome.
+            from jax.experimental import multihost_utils
+            flag = int(multihost_utils.broadcast_one_to_all(
+                np.int32(-1 if load_err else (1 if restored else 0))))
+            if flag < 0:
+                sys.exit(load_err or "--resume: process 0 failed to restore "
+                                     "the training state (see its log)")
+            if flag:
+                # non-0 processes contribute a structure-only template
+                st, ep, bi, tr = restored or (state, 0, 0.0, 0)
+                st, ep, bi, tr = multihost_utils.broadcast_one_to_all(
+                    (jax.tree_util.tree_map(np.asarray, st),
+                     np.int32(ep), np.float32(bi), np.int32(tr)))
+                restored = (st, int(ep), float(bi), int(tr))
         if restored:
             state, start_epoch, best_iou, trigger = restored
             start_epoch += 1
