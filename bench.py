@@ -86,6 +86,15 @@ def main():
     parser.add_argument("--zoo", dest="zoo", action="store_true", default=True,
                         help="append a per-arch zoo array (default)")
     parser.add_argument("--no_zoo", dest="zoo", action="store_false")
+    parser.add_argument("--platform", default="default",
+                        help="jax platform override ('cpu' validates the "
+                             "bench path without an accelerator)")
+    parser.add_argument("--probe_retries", default=4, type=int,
+                        help="times to re-probe an unavailable accelerator "
+                             "backend before giving up (the remote-TPU tunnel "
+                             "stalls transiently; each probe waits in a "
+                             "subprocess up to --probe_wait seconds)")
+    parser.add_argument("--probe_wait", default=180, type=int)
     args = parser.parse_args()
     if args.quick:
         args.steps, args.repeats = 20, 2
@@ -94,8 +103,41 @@ def main():
     if args.deep_supervision is None:
         args.deep_supervision = args.arch == "NestedUNet"
 
+    # The remote-TPU tunnel sporadically stalls or refuses backend init for
+    # minutes at a time. Probe device availability in a THROWAWAY subprocess
+    # (a failed init poisons the jax backend cache in-process) and retry
+    # before committing this process to an init attempt.
+    if args.platform == "default":
+        import subprocess
+        import sys
+
+        probe = ("import jax; jax.devices(); "
+                 "print(jax.devices()[0].device_kind)")
+        for attempt in range(args.probe_retries):
+            try:
+                r = subprocess.run([sys.executable, "-c", probe],
+                                   capture_output=True, text=True,
+                                   timeout=args.probe_wait)
+                if r.returncode == 0:
+                    break
+                reason = (r.stderr or r.stdout).strip().splitlines()[-1:]
+            except subprocess.TimeoutExpired:
+                reason = [f"probe timed out after {args.probe_wait}s"]
+            print(f"# accelerator probe {attempt + 1}/{args.probe_retries} "
+                  f"failed: {reason}", file=sys.stderr)
+        else:
+            print(json.dumps({
+                "metric": "train_images_per_sec_per_chip",
+                "value": None, "unit": "images/sec/chip", "vs_baseline": None,
+                "error": f"accelerator backend unavailable after "
+                         f"{args.probe_retries} probes "
+                         f"(remote tunnel down?): {reason}"}))
+            return
+
     import jax
 
+    if args.platform != "default":
+        jax.config.update("jax_platforms", args.platform)
     # persistent compile cache: first compiles through the remote TPU tunnel
     # cost 60-400s; cached reruns are instant
     jax.config.update("jax_compilation_cache_dir",
@@ -179,6 +221,11 @@ def main():
         dispatch_ms.append((best_a - steps * per_step) * 1e3)
         return batch / per_step, per_step * 1e3
 
+    # --quick (smoke/CPU validation) shrinks the inference measurement the
+    # same way it shrinks --steps; full runs keep the long scans
+    infer_scans = (10, 50) if args.quick else (50, 250)
+    infer_iters = 5 if args.quick else 20
+
     def measure_infer(model, ds, batch=1, e2e=True):
         """p50 end-to-end latency (dispatch + fwd + readback) and pure device
         time via a scanned forward."""
@@ -191,7 +238,7 @@ def main():
             out = predict(variables["params"], variables["batch_stats"], imgs)
             _ = float(out.sum())
             ts = []
-            for _i in range(20):
+            for _i in range(infer_iters):
                 t0 = time.perf_counter()
                 out = predict(variables["params"], variables["batch_stats"], imgs)
                 _ = float(out.sum())
@@ -218,7 +265,7 @@ def main():
 
             return fwd_k
 
-        fwd_a, fwd_b = make_fwd(50), make_fwd(250)
+        fwd_a, fwd_b = make_fwd(infer_scans[0]), make_fwd(infer_scans[1])
         args_ = (variables["params"], variables["batch_stats"], imgs)
         _ = float(fwd_a(*args_))
         _ = float(fwd_b(*args_))
@@ -228,7 +275,8 @@ def main():
         t0 = time.perf_counter()
         _ = float(fwd_b(*args_))
         wall_b = time.perf_counter() - t0
-        dev_ms = max(wall_b - wall_a, 1e-9) / 200 * 1e3
+        dev_ms = (max(wall_b - wall_a, 1e-9)
+                  / (infer_scans[1] - infer_scans[0]) * 1e3)
         return p50_e2e, dev_ms
 
     def roofline(model, ds, batch, step_ms):
