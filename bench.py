@@ -76,9 +76,9 @@ def main():
                         help="reference protocol batch (trains.py:38)")
     parser.add_argument("--input_hw", default=96, type=int)
     parser.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
-    parser.add_argument("--steps", default=20, type=int,
-                        help="scan length per timed dispatch")
-    parser.add_argument("--repeats", default=3, type=int)
+    parser.add_argument("--steps", default=None, type=int,
+                        help="scan length per timed dispatch (default 20)")
+    parser.add_argument("--repeats", default=None, type=int, help="default 3")
     parser.add_argument("--quick", action="store_true", help="fewer steps, no zoo")
     parser.add_argument("--sweep", dest="sweep", action="store_true", default=True,
                         help="also sweep larger batches and report the best (default)")
@@ -95,11 +95,19 @@ def main():
                              "stalls transiently; each probe waits in a "
                              "subprocess up to --probe_wait seconds)")
     parser.add_argument("--probe_wait", default=180, type=int)
+    parser.add_argument("--zoo_budget_s", default=2400, type=int,
+                        help="wall-clock budget for the zoo sweep; archs not "
+                             "reached before it expires are recorded as "
+                             "skipped (no silent truncation) so a stalling "
+                             "remote tunnel can't eat the whole artifact")
     args = parser.parse_args()
     if args.quick:
-        args.steps, args.repeats = 20, 2
         args.sweep = False
         args.zoo = False
+    if args.steps is None:
+        args.steps = 20
+    if args.repeats is None:
+        args.repeats = 2 if args.quick else 3
     if args.deep_supervision is None:
         args.deep_supervision = args.arch == "NestedUNet"
 
@@ -358,7 +366,12 @@ def main():
 
     if args.zoo:
         zoo = []
+        zoo_t0 = time.perf_counter()
         for arch in ZOO_ARCHS:
+            if time.perf_counter() - zoo_t0 > args.zoo_budget_s:
+                zoo.append({"arch": arch,
+                            "error": f"skipped: --zoo_budget_s {args.zoo_budget_s} exhausted"})
+                continue
             ds = arch == "NestedUNet"
             try:
                 m = build(arch, ds)

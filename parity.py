@@ -168,6 +168,10 @@ def _build_ref_model(ref_root, arch, ds_flag, decoder):
     if arch == "AttU_Net":
         # live in archs.py:1402-1474 (LeeJunHyun signature, not the trainer's)
         return _import_ref_archs_py(ref_root).AttU_Net(img_ch=3, output_ch=1)
+    if arch == "R2AttU_Net":
+        # live in archs.py:1322-1396: recurrent-residual RRCNN blocks (t=2)
+        # + additive attention gates
+        return _import_ref_archs_py(ref_root).R2AttU_Net(img_ch=3, output_ch=1)
     if arch == "UNetRNNGhost":
         # The finished/archs2.py copy cannot even construct (filters[4] on a
         # 4-element list, archs2.py:496-510); the live copy is
@@ -391,7 +395,7 @@ def parse_args(argv=None):
                    help="path to an upstream reference checkout")
     p.add_argument("--arch", default="NestedUNet",
                    choices=["UNet", "NestedUNet", "UNetRNN", "UNetRNNGhost",
-                            "AttU_Net"],
+                            "AttU_Net", "R2AttU_Net"],
                    help="archs with CPU-runnable reference defs (reference "
                         "finished/archs1.py:11, finished/archs2.py:11, "
                         "archs.py:1402)")
