@@ -161,6 +161,27 @@ def _import_ref_archs_py(ref_root):
             sys.modules.pop(name, None)
 
 
+def _import_ref_archs_backup(ref_root):
+    """Import the reference's archs_backup.py with its unused module-level
+    segmentation_refinement import stubbed (archs_backup.py:17 — only the PSP
+    hybrids touch it, at forward time)."""
+    import types
+
+    stubbed = []
+    for name in ("segmentation_refinement", "segmentation_refinement.models",
+                 "segmentation_refinement.models.psp",
+                 "segmentation_refinement.models.psp.pspnet"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+            stubbed.append(name)
+    try:
+        return _import_module(os.path.join(ref_root, "archs_backup.py"),
+                              "ref_archs_backup")
+    finally:
+        for name in stubbed:
+            sys.modules.pop(name, None)
+
+
 def _build_ref_model(ref_root, arch, ds_flag, decoder):
     """The reference's own CPU-runnable definition of `arch`."""
     import torch
@@ -172,38 +193,25 @@ def _build_ref_model(ref_root, arch, ds_flag, decoder):
         # live in archs.py:1322-1396: recurrent-residual RRCNN blocks (t=2)
         # + additive attention gates
         return _import_ref_archs_py(ref_root).R2AttU_Net(img_ch=3, output_ch=1)
-    if arch == "UNetRNNGhost":
-        # The finished/archs2.py copy cannot even construct (filters[4] on a
-        # 4-element list, archs2.py:496-510); the live copy is
-        # archs_backup.py:505-616.  Its module-level
+    if arch in ("UNetRNNGhost", "UNetRM3", "UNetRM7"):
+        # These live only in archs_backup.py (UNetRNNGhost :505-616, UNetRM3
+        # :621-715, UNetRM7 :717-843; the finished/archs2.py UNetRNNGhost copy
+        # cannot even construct — filters[4] on a 4-element list,
+        # archs2.py:496-510).  The module-level
         # `from segmentation_refinement...pspnet import *` (archs_backup.py:17)
         # is stubbed (only the PSP hybrids touch it, at forward time).  With
         # the vanilla decoder the RDC math is CPU-safe (archs_backup.py:219
         # casts .cpu()); the one remaining pin is the zero-state .cuda(0)
-        # (:616), neutralized like the reference author's own CPU edits
-        # (finished/archs1.py:339).
-        import types
-
+        # (:616/:715/:843), neutralized like the reference author's own CPU
+        # edits (finished/archs1.py:339).
         if decoder != "vanilla":
-            raise SystemExit("UNetRNNGhost parity: the reference GRU branch "
+            raise SystemExit(f"{arch} parity: the reference GRU branch "
                              "pins .cuda() (archs_backup.py:205); use the "
                              "CPU-safe vanilla decoder")
-        stubbed = []
-        for name in ("segmentation_refinement", "segmentation_refinement.models",
-                     "segmentation_refinement.models.psp",
-                     "segmentation_refinement.models.psp.pspnet"):
-            if name not in sys.modules:
-                sys.modules[name] = types.ModuleType(name)
-                stubbed.append(name)
-        try:
-            backup = _import_module(os.path.join(ref_root, "archs_backup.py"),
-                                    "ref_archs_backup")
-        finally:
-            for name in stubbed:
-                sys.modules.pop(name, None)
-        backup.UNetRNNGhost._init_cell_state = (
-            lambda self, t: torch.zeros(t.size()))
-        return backup.UNetRNNGhost(1, input_channel=3, decoder=decoder)
+        backup = _import_ref_archs_backup(ref_root)
+        cls = getattr(backup, arch)
+        cls._init_cell_state = lambda self, t: torch.zeros(t.size())
+        return cls(1, input_channel=3, decoder=decoder)
     archs = _import_module(os.path.join(ref_root, "finished", "archs1.py"),
                            "ref_archs1")
     if arch == "UNetRNN":
@@ -299,7 +307,8 @@ def run_jax(arch, ds_flag, loss_name, init_sd, images, masks, schedule,
     )
 
     extra = ({"decoder": decoder}
-             if arch in ("UNetRNN", "UNetRNNGhost") else {})
+             if arch in ("UNetRNN", "UNetRNNGhost", "UNetRM3", "UNetRM7")
+             else {})
     model = models.create_model(arch, 1, 3, ds_flag, **extra)  # f32
     variables = _converters(arch)[0](init_sd)
     tx = build_optimizer("SGD", lr, 0.9, 1e-4)
@@ -395,7 +404,7 @@ def parse_args(argv=None):
                    help="path to an upstream reference checkout")
     p.add_argument("--arch", default="NestedUNet",
                    choices=["UNet", "NestedUNet", "UNetRNN", "UNetRNNGhost",
-                            "AttU_Net", "R2AttU_Net"],
+                            "UNetRM3", "UNetRM7", "AttU_Net", "R2AttU_Net"],
                    help="archs with CPU-runnable reference defs (reference "
                         "finished/archs1.py:11, finished/archs2.py:11, "
                         "archs.py:1402)")
