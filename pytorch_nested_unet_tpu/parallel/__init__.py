@@ -9,12 +9,13 @@ SyncBN hand-rolled (reference sync_batchnorm/batchnorm.py:90-111).
 
 from .mesh import (
     batch_sharding, make_mesh, parse_mesh_spec, replicated_sharding,
-    shard_train_step,
+    shard_train_step, state_shardings, tensor_parallel_spec,
 )
 from .multihost import (
     global_batch_slice, initialize_distributed, make_global_array,
 )
 
 __all__ = ["make_mesh", "batch_sharding", "parse_mesh_spec",
-           "replicated_sharding", "shard_train_step",
+           "replicated_sharding", "shard_train_step", "state_shardings",
+           "tensor_parallel_spec",
            "initialize_distributed", "global_batch_slice", "make_global_array"]

@@ -9,6 +9,11 @@ vendored master/slave queue protocol, sync_batchnorm/comm.py:18-129).
 Spatial parallel ('x'/'y' over H/W) is the CNN analogue of context parallelism
 (SURVEY.md §2.5): XLA SPMD partitions convolutions spatially with automatic halo
 exchange for the 3x3 stencils.
+
+Tensor parallel ('model' over out-channels) shards conv/dense kernels and their
+optimizer state across devices (state_shardings) — the memory lever for models
+whose params/optimizer state outgrow one chip's HBM; GSPMD inserts the
+activation collectives.
 """
 
 from typing import Optional, Sequence, Tuple
@@ -87,11 +92,52 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def tensor_parallel_spec(leaf, tp: int, min_shardable: int = 16384):
+    """PartitionSpec for one parameter/optimizer leaf under channel (tensor)
+    parallelism of degree `tp`.
+
+    Conv kernels (HWIO) and Dense kernels (in, out) shard their out-channel
+    dim over the 'model' axis when it divides evenly and the tensor is big
+    enough to be worth splitting; everything else (biases, BN vectors/stats,
+    scalars) stays replicated — they are O(C) and XLA's collectives for them
+    would cost more than the memory they save. GSPMD inserts the activation
+    all-gathers/reduce-scatters between layers automatically, so alternating
+    in/out sharding a la Megatron is unnecessary for correctness; this uniform
+    out-channel layout is the memory-saving layout for optimizer state."""
+    shape = tuple(getattr(leaf, "shape", ()))
+    size = int(np.prod(shape)) if shape else 0
+    if size >= min_shardable and shape and shape[-1] % tp == 0:
+        if len(shape) == 4:
+            return P(None, None, None, "model")
+        if len(shape) == 2:
+            return P(None, "model")
+    return P()
+
+
+def state_shardings(mesh: Mesh, state, min_shardable: int = 16384):
+    """NamedSharding pytree matching `state` (a TrainState or any pytree of
+    arrays): channel/tensor parallelism over the mesh's 'model' axis when
+    present, fully replicated otherwise.
+
+    Use with ``jax.device_put(state, state_shardings(mesh, state))`` before
+    the first sharded step so params AND optimizer-state leaves (same shapes)
+    are laid out once; shard_train_step then pins the layout via
+    in/out_shardings, keeping it stable across donated steps."""
+    if "model" not in mesh.axis_names:
+        rep = replicated_sharding(mesh)
+        return jax.tree.map(lambda _: rep, state)
+    tp = mesh.shape["model"]
+    return jax.tree.map(
+        lambda leaf: NamedSharding(
+            mesh, tensor_parallel_spec(leaf, tp, min_shardable)), state)
+
+
 def shard_train_step(step_fn, mesh: Mesh, donate_state: bool = True,
-                     spatial: bool = False):
+                     spatial: bool = False, state_shardings=None):
     """Wrap an un-jitted step(state, images, masks, key) with pjit shardings:
-    state replicated, batch sharded over 'data' (+spatial H/W), outputs
-    replicated.
+    state replicated (or per-leaf `state_shardings`, e.g. the tensor-parallel
+    layout from parallel.mesh.state_shardings), batch sharded over 'data'
+    (+spatial H/W), metrics replicated.
 
     The batch sharding is applied via with_sharding_constraint *inside* the
     jitted program rather than in_shardings, so callers may pass batches with
@@ -99,6 +145,7 @@ def shard_train_step(step_fn, mesh: Mesh, donate_state: bool = True,
     DeviceDataStore — and XLA inserts the (local-slice) resharding."""
     rep = replicated_sharding(mesh)
     bat = batch_sharding(mesh, spatial)
+    st = rep if state_shardings is None else state_shardings
 
     def wrapped(state, images, masks, key):
         images = jax.lax.with_sharding_constraint(images, bat)
@@ -107,7 +154,7 @@ def shard_train_step(step_fn, mesh: Mesh, donate_state: bool = True,
 
     return jax.jit(
         wrapped,
-        in_shardings=(rep, None, None, rep),
-        out_shardings=(rep, rep),
+        in_shardings=(st, None, None, rep),
+        out_shardings=(st, rep),
         donate_argnums=(0,) if donate_state else (),
     )

@@ -38,15 +38,16 @@ def _as_heads(outputs):
 
 def make_train_step(model, tx, loss_name: str, deep_supervision: bool,
                     augment=True, donate: bool = True, mesh=None,
-                    spatial: bool = False):
+                    spatial: bool = False, state_shardings=None):
     """Returns step(state, images_u8, masks_u8, key) -> (state, metrics).
 
     images_u8/masks_u8 are raw uint8 batches (already gathered/sliced); the
     augmentation+normalization runs inside this jitted program. `augment` is
     a bool, an augment-spec string ('full'/'none'/comma list), or a static op
     tuple — see data.augment.parse_augment_spec. With `mesh`, the step is
-    pjit-sharded: state replicated, batch over the 'data' axis (+ H/W over
-    'x'/'y' if spatial) — see parallel.mesh.
+    pjit-sharded: state replicated (or laid out per `state_shardings`, e.g.
+    tensor-parallel from parallel.mesh.state_shardings), batch over the 'data'
+    axis (+ H/W over 'x'/'y' if spatial) — see parallel.mesh.
     """
     loss_fn = get_loss(loss_name)
     augment = parse_augment_spec(augment)
@@ -77,7 +78,8 @@ def make_train_step(model, tx, loss_name: str, deep_supervision: bool,
     if mesh is not None:
         from ..parallel.mesh import shard_train_step
 
-        return shard_train_step(step, mesh, donate_state=donate, spatial=spatial)
+        return shard_train_step(step, mesh, donate_state=donate, spatial=spatial,
+                                state_shardings=state_shardings)
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 

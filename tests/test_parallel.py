@@ -153,3 +153,67 @@ def test_wrapped_optimizer_state_shards_on_mesh(mesh):
     )
     assert nonfinite_count(state.opt_state) == 0  # healthy grads, none skipped
     assert get_learning_rate(state.opt_state) == pytest.approx(1e-3)
+
+
+def test_tensor_parallel_step_matches_single_device(mesh):
+    """2-way data x 4-way tensor (out-channel) parallelism must reproduce the
+    single-device step: GSPMD's activation collectives around the sharded
+    kernels are numerically transparent, and the optimizer-state leaves carry
+    the same layout (the HBM lever for models too big for one chip)."""
+    from pytorch_nested_unet_tpu.parallel import state_shardings
+
+    meshT = make_mesh(axis_sizes=(2, 4), axis_names=("data", "model"))
+    model, tx, state, imgs, msks = _setup()
+    key = jax.random.PRNGKey(11)
+
+    step1 = make_train_step(model, tx, "BCEDiceLoss", False, augment=False,
+                            donate=False)
+    s1, m1 = step1(state, jnp.asarray(imgs), jnp.asarray(msks), key)
+
+    shardings = state_shardings(meshT, state)
+    specs = [s.spec for s in jax.tree.leaves(shardings)]
+    assert any("model" in str(sp) for sp in specs), "no leaf got a TP spec"
+
+    stepT = make_train_step(model, tx, "BCEDiceLoss", False, augment=False,
+                            donate=False, mesh=meshT,
+                            state_shardings=shardings)
+    sT, mT = stepT(jax.device_put(state, shardings),
+                   jnp.asarray(imgs), jnp.asarray(msks), key)
+
+    # the big conv kernels (and their momentum) are genuinely partitioned:
+    # each device holds out_channels/4
+    sharded = [a for a in jax.tree.leaves(sT.params)
+               if a.ndim == 4 and "model" in str(a.sharding.spec)]
+    assert sharded, "no conv kernel partitioned over 'model'"
+    a = sharded[0]
+    assert a.addressable_shards[0].data.shape[-1] == a.shape[-1] // 4
+    n_mom = sum(1 for a in jax.tree.leaves(sT.opt_state)
+                if getattr(a, "ndim", 0) == 4
+                and "model" in str(a.sharding.spec))
+    assert n_mom >= len(sharded), "optimizer state not TP-sharded"
+
+    assert float(m1["loss"]) == pytest.approx(float(mT["loss"]), rel=1e-4)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(sT.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-3)
+    for a, b in zip(jax.tree.leaves(s1.batch_stats),
+                    jax.tree.leaves(sT.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-3)
+
+
+def test_tensor_parallel_spec_rules():
+    """Shape rules: only large enough, evenly divisible kernel out-channels
+    shard; biases/BN vectors/scalars replicate."""
+    from jax.sharding import PartitionSpec as P
+
+    from pytorch_nested_unet_tpu.parallel import tensor_parallel_spec
+
+    conv = np.zeros((3, 3, 64, 128), np.float32)
+    assert tensor_parallel_spec(conv, 4) == P(None, None, None, "model")
+    dense = np.zeros((512, 256), np.float32)
+    assert tensor_parallel_spec(dense, 4) == P(None, "model")
+    assert tensor_parallel_spec(np.zeros((128,), np.float32), 4) == P()
+    assert tensor_parallel_spec(np.zeros((3, 3, 64, 126), np.float32), 4) == P()  # 126 % 4
+    assert tensor_parallel_spec(np.zeros((3, 3, 4, 4), np.float32), 4) == P()  # tiny
+    assert tensor_parallel_spec(np.zeros((), np.float32), 4) == P()

@@ -263,3 +263,35 @@ def test_init_from_wrong_arch_fails_loudly(synth_root, tmp_path):
         train_cli.main(_args(synth_root, [
             "--arch=UNet", "--input_channels=4", "--name=init_bad2",
             f"--init_from={src}"]))
+
+
+def test_tensor_parallel_cli_shards_kernels_and_matches_single_device(
+        synth_root, monkeypatch):
+    """--mesh data=2,model=4 through train.py: the state really gets a
+    tensor-parallel layout (conv out-channels over 'model') and the run
+    reproduces single-device numerics (GSPMD collectives are transparent)."""
+    import train as train_cli
+
+    recorded = []
+    real = train_cli.state_shardings
+
+    def recording(mesh, state, **kw):
+        sh = real(mesh, state, **kw)
+        recorded.append(sh)
+        return sh
+
+    monkeypatch.setattr(train_cli, "state_shardings", recording)
+    train_cli.main(_args(synth_root, ["--arch=UNet", "--name=tp_run",
+                                      "--mesh=data=2,model=4"]))
+    assert recorded, "mesh with a 'model' axis never built TP shardings"
+    specs = [str(s.spec) for s in jax.tree.leaves(recorded[-1])]
+    assert any("model" in sp for sp in specs), "no leaf sharded over 'model'"
+
+    train_cli.main(_args(synth_root, ["--arch=UNet", "--name=tp_single",
+                                      "--mesh=data=1"]))
+    a, b = _log(synth_root, "tp_run"), _log(synth_root, "tp_single")
+    for col in ("loss", "val_loss"):
+        np.testing.assert_allclose(a[col], b[col], atol=3e-3, rtol=3e-3,
+                                   err_msg=col)
+    for col in ("iou", "val_iou"):  # thresholded metric: drift amplifies
+        np.testing.assert_allclose(a[col], b[col], atol=3e-2, err_msg=col)

@@ -32,7 +32,8 @@ from pytorch_nested_unet_tpu.data import (
     DeviceDataStore, HostPrefetchLoader, ISICDataset, SegmentationFolderDataset,
     epoch_batches, list_image_ids, split_ids,
 )
-from pytorch_nested_unet_tpu.parallel import make_mesh, parse_mesh_spec
+from pytorch_nested_unet_tpu.parallel import (
+    make_mesh, parse_mesh_spec, state_shardings)
 from pytorch_nested_unet_tpu.training import (
     LRSchedule, TrainState, build_optimizer, checkpoint, make_eval_step,
     make_train_step, set_learning_rate,
@@ -155,7 +156,9 @@ def parse_args(argv=None):
                              'if the device count cannot factor')
     parser.add_argument('--mesh', default=None, metavar='SPEC',
                         help="explicit mesh layout, e.g. 'data=4,x=2' "
-                             "(axes: 'data' shards batch, 'x'/'y' shard H/W). "
+                             "(axes: 'data' shards batch, 'x'/'y' shard H/W, "
+                             "'model' shards conv/dense out-channels + "
+                             'optimizer state — tensor parallelism). '
                              'Implies --spatial_partition when x/y axes are '
                              'present. Axis sizes must multiply to at most the '
                              'device count (extra devices stay idle)')
@@ -451,6 +454,12 @@ def main(argv=None):
                          accum_steps=config.get('accum_steps', 1))
     state = TrainState.create(variables, tx)
 
+    # Tensor parallelism: a 'model' mesh axis shards conv/dense out-channels
+    # (params + optimizer state) across devices — see parallel.mesh.
+    tp_shardings = None
+    if mesh is not None and 'model' in mesh.axis_names:
+        tp_shardings = state_shardings(mesh, state)
+
     sched = LRSchedule(config['scheduler'], config['lr'], config['epochs'],
                        config['min_lr'], config['factor'], config['patience'],
                        [int(e) for e in str(config['milestones']).split(',')],
@@ -469,7 +478,8 @@ def main(argv=None):
         train_step = make_train_step(model, tx, config['loss'],
                                      config['deep_supervision'],
                                      augment=config['augment'], mesh=mesh,
-                                     spatial=spatial)
+                                     spatial=spatial,
+                                     state_shardings=tp_shardings)
         eval_step = make_eval_step(model, config['loss'], config['deep_supervision'])
 
     if config['checkpoint_backend'] == 'orbax':
@@ -519,6 +529,11 @@ def main(argv=None):
             state, start_epoch, best_iou, trigger = restored
             start_epoch += 1
             print(f"resumed from epoch {start_epoch - 1} (best iou {best_iou:.4f})")
+
+    if tp_shardings is not None:
+        # Lay the (possibly just-restored) state out in the tensor-parallel
+        # layout once; the step's in/out_shardings keep it stable thereafter.
+        state = jax.device_put(state, tp_shardings)
 
     log_cols = ['epoch', 'lr', 'loss', 'iou', 'val_loss', 'val_iou']
     if config['log_acc']:
