@@ -19,13 +19,27 @@ from flax import serialization
 
 
 def _to_host(tree):
-    return jax.tree.map(lambda x: np.asarray(x), tree)
+    """Device -> host numpy. Replicated leaves read their local copy; leaves
+    sharded ACROSS processes (multi-host tensor parallelism) need a gather,
+    which is a COLLECTIVE — every process must reach this call. File writes
+    are separately gated to process 0 (no shared filesystem assumed)."""
+    def to_np(x):
+        if (isinstance(x, jax.Array)
+                and not (x.is_fully_addressable or x.is_fully_replicated)):
+            from jax.experimental import multihost_utils
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x)
+
+    return jax.tree.map(to_np, tree)
 
 
 def save_model(model_dir: str, params, batch_stats):
-    """Best-IoU model weights (the `model.pth` analogue)."""
-    blob = serialization.to_bytes({"params": _to_host(params),
-                                   "batch_stats": _to_host(batch_stats)})
+    """Best-IoU model weights (the `model.pth` analogue). Call on EVERY
+    process (the host gather is collective); only process 0 writes."""
+    host = {"params": _to_host(params), "batch_stats": _to_host(batch_stats)}
+    if jax.process_index() != 0:
+        return
+    blob = serialization.to_bytes(host)
     with open(os.path.join(model_dir, "model.msgpack"), "wb") as f:
         f.write(blob)
 
@@ -68,14 +82,19 @@ def load_capsule(model_dir: str, dtype=None):
 
 def save_training_state(model_dir: str, state, epoch: int, best_iou: float,
                         trigger: int):
-    blob = serialization.to_bytes({
+    """Full resume state. Call on EVERY process (collective gather under
+    multi-host tensor parallelism); only process 0 writes."""
+    host = {
         "params": _to_host(state.params),
         "batch_stats": _to_host(state.batch_stats),
         "opt_state": serialization.to_state_dict(_to_host(state.opt_state)),
         "epoch": epoch,
         "best_iou": float(best_iou),
         "trigger": int(trigger),
-    })
+    }
+    if jax.process_index() != 0:
+        return
+    blob = serialization.to_bytes(host)
     tmp = os.path.join(model_dir, "last.msgpack.tmp")
     with open(tmp, "wb") as f:
         f.write(blob)
@@ -113,7 +132,13 @@ def load_training_state(model_dir: str, state):
 
 def save_training_state_orbax(model_dir: str, state, epoch: int, best_iou: float,
                               trigger: int, name: str = "orbax_last"):
-    """Sharding-aware full-state checkpoint via orbax.checkpoint."""
+    """Sharding-aware full-state checkpoint via orbax.checkpoint.
+
+    Single-host only: orbax's multi-process save coordinates all processes
+    over its own barriers and assumes a shared checkpoint filesystem, which
+    this framework's multi-host wiring does not (process-0-only writes, see
+    train.py). train.py rejects --checkpoint_backend orbax under multi-host;
+    the msgpack backend gathers-and-writes there instead."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(os.path.join(model_dir, name))

@@ -195,3 +195,76 @@ def test_multihost_resume_broadcasts_process0_state(tmp_path):
         assert "resumed from epoch 1" in out, f"proc {pid}:\n{out[-2000:]}"
     log = pd.read_csv(tmp_path / "out0" / "run" / "log.csv")
     assert list(log["epoch"]) == [0, 1, 2, 3]
+
+
+def test_two_process_tensor_parallel_matches_single_process(tmp_path):
+    """Tensor parallelism across processes: a {'data': 1, 'model': 2} mesh
+    spanning two hosts shards conv out-channels + optimizer state over the
+    cross-process backend, and must reproduce the single-process losses
+    (the activation collectives are numerically transparent)."""
+    import socket
+    import subprocess
+    import sys as _sys
+
+    import cv2
+    import pandas as pd
+
+    rng = np.random.default_rng(9)
+    img_dir = tmp_path / "inputs" / "synth" / "images"
+    mask_dir = tmp_path / "inputs" / "synth" / "masks" / "0"
+    img_dir.mkdir(parents=True)
+    mask_dir.mkdir(parents=True)
+    for i in range(12):
+        img = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+        yy, xx = np.mgrid[0:32, 0:32]
+        cy, cx = rng.integers(10, 22, 2)
+        mask = (((yy - cy) ** 2 + (xx - cx) ** 2) < 25).astype(np.uint8) * 255
+        img[mask > 0] = 220
+        cv2.imwrite(str(img_dir / f"im{i:02d}.png"), img)
+        cv2.imwrite(str(mask_dir / f"im{i:02d}.png"), mask)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    def args(name, extra):
+        return [_sys.executable, os.path.join(os.path.dirname(__file__),
+                                              "..", "train.py"),
+                f"--data_dir={tmp_path / 'inputs'}",
+                f"--output_dir={tmp_path / name}",
+                "--dataset=synth", "--arch=UNet", "--name=run",
+                "--input_w=32", "--input_h=32", "--epochs=2", "--batch_size=8",
+                "--optimizer=Adam", "--precision=fp32",
+                "--platform=cpu"] + extra
+
+    env = {k: v for k, v in os.environ.items() if k != "JAX_NUM_PROCESSES"}
+    env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+    env["JAX_NUM_PROCESSES"] = "2"
+    procs = []
+    try:
+        for pid in range(2):
+            e = dict(env, JAX_PROCESS_ID=str(pid))
+            procs.append(subprocess.Popen(
+                args("tp_mh", ["--mesh=data=1,model=2"]), env=e,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+        outs = [p.communicate(timeout=900)[0] for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out[-3000:]}"
+    assert "mesh: {'data': 1, 'model': 2}" in outs[0]
+
+    sp = subprocess.run(args("tp_sp", ["--mesh=data=1"]), env=dict(os.environ),
+                        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                        text=True, timeout=900)
+    assert sp.returncode == 0, sp.stdout[-3000:]
+    a = pd.read_csv(tmp_path / "tp_mh" / "run" / "log.csv")
+    b = pd.read_csv(tmp_path / "tp_sp" / "run" / "log.csv")
+    for col in ("loss", "val_loss"):
+        np.testing.assert_allclose(a[col], b[col], rtol=2e-4, atol=2e-5,
+                                   err_msg=col)
+    for col in ("iou", "val_iou"):  # thresholded metric: ulp drift flips pixels
+        np.testing.assert_allclose(a[col], b[col], atol=0.02, err_msg=col)

@@ -483,6 +483,12 @@ def main(argv=None):
         eval_step = make_eval_step(model, config['loss'], config['deep_supervision'])
 
     if config['checkpoint_backend'] == 'orbax':
+        if multihost:
+            # orbax's multi-process save coordinates over its own barriers and
+            # assumes a shared checkpoint filesystem; this framework's
+            # multi-host model is process-0-only writes with no shared fs
+            sys.exit("--checkpoint_backend orbax is single-host only; "
+                     "use msgpack under multi-host")
         save_state_fn = checkpoint.save_training_state_orbax
         load_state_fn = checkpoint.load_training_state_orbax
     else:
@@ -730,13 +736,14 @@ def main(argv=None):
 
         trigger += 1
         if va_meters['iou'].avg > best_iou:
+            # every process calls (the host gather inside is a collective
+            # under multi-host tensor parallelism); only process 0 writes
+            checkpoint.save_model(model_dir, state.params, state.batch_stats)
             if is_main:
-                checkpoint.save_model(model_dir, state.params, state.batch_stats)
                 print("=> saved best model")
             best_iou = va_meters['iou'].avg
             trigger = 0
-        if is_main:
-            save_state_fn(model_dir, state, epoch, best_iou, trigger)
+        save_state_fn(model_dir, state, epoch, best_iou, trigger)
 
         if 0 <= config['early_stopping'] <= trigger:
             print("=> early stopping")
