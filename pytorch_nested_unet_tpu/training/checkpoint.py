@@ -18,6 +18,15 @@ import numpy as np
 from flax import serialization
 
 
+def _needs_collective_gather(tree) -> bool:
+    """True if any leaf is sharded across processes (multi-host tensor
+    parallelism) — sharding metadata is identical on every process, so this
+    decision is process-consistent."""
+    return any(isinstance(x, jax.Array)
+               and not (x.is_fully_addressable or x.is_fully_replicated)
+               for x in jax.tree.leaves(tree))
+
+
 def _to_host(tree):
     """Device -> host numpy. Replicated leaves read their local copy; leaves
     sharded ACROSS processes (multi-host tensor parallelism) need a gather,
@@ -35,8 +44,12 @@ def _to_host(tree):
 
 def save_model(model_dir: str, params, batch_stats):
     """Best-IoU model weights (the `model.pth` analogue). Call on EVERY
-    process (the host gather is collective); only process 0 writes."""
-    host = {"params": _to_host(params), "batch_stats": _to_host(batch_stats)}
+    process (the host gather under tensor parallelism is collective); only
+    process 0 writes."""
+    tree = {"params": params, "batch_stats": batch_stats}
+    if jax.process_index() != 0 and not _needs_collective_gather(tree):
+        return  # plain data parallelism: nothing for non-writers to do
+    host = _to_host(tree)
     if jax.process_index() != 0:
         return
     blob = serialization.to_bytes(host)
@@ -84,16 +97,17 @@ def save_training_state(model_dir: str, state, epoch: int, best_iou: float,
                         trigger: int):
     """Full resume state. Call on EVERY process (collective gather under
     multi-host tensor parallelism); only process 0 writes."""
-    host = {
-        "params": _to_host(state.params),
-        "batch_stats": _to_host(state.batch_stats),
-        "opt_state": serialization.to_state_dict(_to_host(state.opt_state)),
-        "epoch": epoch,
-        "best_iou": float(best_iou),
-        "trigger": int(trigger),
+    tree = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": serialization.to_state_dict(state.opt_state),
     }
+    if jax.process_index() != 0 and not _needs_collective_gather(tree):
+        return  # plain data parallelism: nothing for non-writers to do
+    host = _to_host(tree)
     if jax.process_index() != 0:
         return
+    host.update(epoch=epoch, best_iou=float(best_iou), trigger=int(trigger))
     blob = serialization.to_bytes(host)
     tmp = os.path.join(model_dir, "last.msgpack.tmp")
     with open(tmp, "wb") as f:

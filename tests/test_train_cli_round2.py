@@ -97,6 +97,10 @@ def test_mesh_flag_validation(synth_root):
     # batch 8 not divisible by data=3
     with pytest.raises(SystemExit, match="batch_size"):
         train_cli.main(_args(synth_root, ["--arch=UNet", "--mesh=data=3"]))
+    # 'model' axis that shards nothing (UNet widths 32..512 never divide by 3)
+    # must refuse loudly instead of silently replicating
+    with pytest.raises(SystemExit, match="shards nothing"):
+        train_cli.main(_args(synth_root, ["--arch=UNet", "--mesh=data=2,model=3"]))
 
 
 def test_host_loader_batches_match_device_store(synth_root):

@@ -459,6 +459,17 @@ def main(argv=None):
     tp_shardings = None
     if mesh is not None and 'model' in mesh.axis_names:
         tp_shardings = state_shardings(mesh, state)
+        n_tp = sum('model' in str(s.spec)
+                   for s in jax.tree.leaves(tp_shardings))
+        if not n_tp:
+            # a silently ignored axis is worse than an error (cf. _build_mesh)
+            sys.exit(f"--mesh: the 'model' axis (size "
+                     f"{mesh.shape['model']}) shards nothing in this arch — "
+                     f"no kernel has out-channels divisible by it (or all "
+                     f"are below the shardable size); drop the axis or "
+                     f"change its size")
+        print(f"tensor parallel: {n_tp} kernels sharded over "
+              f"'model'={mesh.shape['model']}")
 
     sched = LRSchedule(config['scheduler'], config['lr'], config['epochs'],
                        config['min_lr'], config['factor'], config['patience'],
