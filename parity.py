@@ -48,14 +48,16 @@ IMAGENET_STD = np.asarray((0.229, 0.224, 0.225), np.float32)
 
 # ---------------------------------------------------------------- dataset ----
 
-def make_synthetic_dataset(n, hw, seed):
+def make_synthetic_dataset(n, hw, seed, num_classes=1):
     """Deterministic segmentation task hard enough not to saturate instantly:
     1-3 rotated ellipses (green-tinted, moderate contrast) over a textured
-    background, with bright red distractor rectangles that must NOT be
-    segmented, plus pixel noise."""
+    background, with bright red rectangles, plus pixel noise. At num_classes=1
+    the rectangles are distractors that must NOT be segmented; at num_classes=2
+    they become class 1 (multiclass per-channel masks, reference
+    dataset.py:60-64 semantics)."""
     rng = np.random.default_rng(seed)
     images = np.zeros((n, hw, hw, 3), np.uint8)
-    masks = np.zeros((n, hw, hw, 1), np.uint8)
+    masks = np.zeros((n, hw, hw, num_classes), np.uint8)
     yy, xx = np.mgrid[0:hw, 0:hw]
     for i in range(n):
         img = rng.integers(40, 120, (hw, hw, 3)).astype(np.float32)
@@ -69,13 +71,16 @@ def make_synthetic_dataset(n, hw, seed):
             v = -(yy - cy) * sa + (xx - cx) * ca
             m |= (u / ry) ** 2 + (v / rx) ** 2 < 1.0
         img[m] += np.asarray([25, 60, 25], np.float32)
-        if rng.random() < 0.7:  # distractor
+        rect = np.zeros((hw, hw), bool)
+        if num_classes > 1 or rng.random() < 0.7:
             y0, x0 = rng.integers(0, max(1, hw - hw // 4), 2)
-            img[y0:y0 + hw // 6, x0:x0 + hw // 6] += np.asarray(
-                [70, 20, 20], np.float32)
+            rect[y0:y0 + hw // 6, x0:x0 + hw // 6] = True
+            img[rect] += np.asarray([70, 20, 20], np.float32)
         img += rng.normal(0, 12, img.shape)
         images[i] = np.clip(img, 0, 255).astype(np.uint8)
-        masks[i] = (m[..., None] * np.uint8(255))
+        masks[i, ..., 0] = m * np.uint8(255)
+        if num_classes > 1:
+            masks[i, ..., 1] = rect * np.uint8(255)
     return images, masks
 
 
@@ -182,20 +187,25 @@ def _import_ref_archs_backup(ref_root):
             sys.modules.pop(name, None)
 
 
-def _build_ref_model(ref_root, arch, ds_flag, decoder):
+def _build_ref_model(ref_root, arch, ds_flag, decoder, num_classes=1):
     """The reference's own CPU-runnable definition of `arch`."""
     import torch
 
     if arch == "AttU_Net":
         # live in archs.py:1402-1474 (LeeJunHyun signature, not the trainer's)
-        return _import_ref_archs_py(ref_root).AttU_Net(img_ch=3, output_ch=1)
+        return _import_ref_archs_py(ref_root).AttU_Net(img_ch=3,
+                                                       output_ch=num_classes)
     if arch == "R2AttU_Net":
         # live in archs.py:1322-1396: recurrent-residual RRCNN blocks (t=2)
         # + additive attention gates
-        return _import_ref_archs_py(ref_root).R2AttU_Net(img_ch=3, output_ch=1)
-    if arch in ("UNetRNNGhost", "UNetRM3", "UNetRM7"):
+        return _import_ref_archs_py(ref_root).R2AttU_Net(img_ch=3,
+                                                         output_ch=num_classes)
+    if arch in ("UNetRNNGhost", "UNetRM3", "UNetRM7", "UNetRNNCAttention"):
         # These live only in archs_backup.py (UNetRNNGhost :505-616, UNetRM3
-        # :621-715, UNetRM7 :717-843; the finished/archs2.py UNetRNNGhost copy
+        # :621-715, UNetRM7 :717-843, UNetRNNCAttention :1109-1250 — the CAM
+        # channel-attention variant, the only dual-attention hybrid whose
+        # reference definition can run: PAM's conv dims crash at forward;
+        # the finished/archs2.py UNetRNNGhost copy
         # cannot even construct — filters[4] on a 4-element list,
         # archs2.py:496-510).  The module-level
         # `from segmentation_refinement...pspnet import *` (archs_backup.py:17)
@@ -211,23 +221,23 @@ def _build_ref_model(ref_root, arch, ds_flag, decoder):
         backup = _import_ref_archs_backup(ref_root)
         cls = getattr(backup, arch)
         cls._init_cell_state = lambda self, t: torch.zeros(t.size())
-        return cls(1, input_channel=3, decoder=decoder)
+        return cls(num_classes, input_channel=3, decoder=decoder)
     archs = _import_module(os.path.join(ref_root, "finished", "archs1.py"),
                            "ref_archs1")
     if arch == "UNetRNN":
         # third positional is kernel_size here (archs1.py:215), so build by kw
-        return archs.UNetRNN(1, input_channel=3, decoder=decoder)
-    return getattr(archs, arch)(1, 3, ds_flag)
+        return archs.UNetRNN(num_classes, input_channel=3, decoder=decoder)
+    return getattr(archs, arch)(num_classes, 3, ds_flag)
 
 
 def run_torch(ref_root, arch, ds_flag, loss_name, images, masks, schedule,
-              val_idx, lr, min_lr, epochs, decoder="vanilla"):
+              val_idx, lr, min_lr, epochs, decoder="vanilla", num_classes=1):
     """Train the reference's own model definition with the reference protocol.
     Returns (init_state_dict, final_model, curves)."""
     import torch
 
     torch.manual_seed(0)
-    model = _build_ref_model(ref_root, arch, ds_flag, decoder)
+    model = _build_ref_model(ref_root, arch, ds_flag, decoder, num_classes)
     init_sd = copy.deepcopy(model.state_dict())
 
     if loss_name == "LovaszHingeLoss":
@@ -294,7 +304,7 @@ def _converters(arch):
 
 
 def run_jax(arch, ds_flag, loss_name, init_sd, images, masks, schedule,
-            val_idx, lr, min_lr, epochs, decoder="vanilla"):
+            val_idx, lr, min_lr, epochs, decoder="vanilla", num_classes=1):
     """Train THIS framework from the converted torch init on the same data and
     schedule. Returns (model, final_variables, curves)."""
     import jax
@@ -307,9 +317,10 @@ def run_jax(arch, ds_flag, loss_name, init_sd, images, masks, schedule,
     )
 
     extra = ({"decoder": decoder}
-             if arch in ("UNetRNN", "UNetRNNGhost", "UNetRM3", "UNetRM7")
+             if arch in ("UNetRNN", "UNetRNNGhost", "UNetRM3", "UNetRM7",
+                         "UNetRNNCAttention")
              else {})
-    model = models.create_model(arch, 1, 3, ds_flag, **extra)  # f32
+    model = models.create_model(arch, num_classes, 3, ds_flag, **extra)  # f32
     variables = _converters(arch)[0](init_sd)
     tx = build_optimizer("SGD", lr, 0.9, 1e-4)
     state = TrainState.create(variables, tx)
@@ -370,14 +381,14 @@ def cross_eval(torch_model, ds_flag, jax_model, jax_vars, images, masks,
                                "batch_stats": variables["batch_stats"]},
                               xj, train=False)
         out = out[-1] if isinstance(out, (list, tuple)) else out
-        return np.asarray(out)[..., 0]
+        return np.moveaxis(np.asarray(out), -1, 1)  # NHWC -> NCHW
 
     def torch_logits(m):
         m.eval()
         with torch.no_grad():
             out = m(x_t)
             out = out[-1] if isinstance(out, list) else out
-        return out.numpy()[:, 0]
+        return out.numpy()
 
     # direction 1: torch-trained -> this framework
     v_from_torch = convert_reference_state_dict(
@@ -404,10 +415,11 @@ def parse_args(argv=None):
                    help="path to an upstream reference checkout")
     p.add_argument("--arch", default="NestedUNet",
                    choices=["UNet", "NestedUNet", "UNetRNN", "UNetRNNGhost",
-                            "UNetRM3", "UNetRM7", "AttU_Net", "R2AttU_Net"],
+                            "UNetRM3", "UNetRM7", "AttU_Net", "R2AttU_Net",
+                            "UNetRNNCAttention"],
                    help="archs with CPU-runnable reference defs (reference "
                         "finished/archs1.py:11, finished/archs2.py:11, "
-                        "archs.py:1402)")
+                        "archs.py:1402, archs_backup.py:1109)")
     p.add_argument("--deep_supervision", default=False,
                    type=lambda v: str(v).lower() in ("1", "true", "t", "yes"))
     p.add_argument("--loss", default="BCEDiceLoss",
@@ -416,6 +428,10 @@ def parse_args(argv=None):
                    choices=["vanilla", "GRU", "LSTM"],
                    help="RDC cell for --arch UNetRNN (reference default: "
                         "vanilla, archs1.py:215)")
+    p.add_argument("--num_classes", default=1, type=int,
+                   help="per-channel mask classes; 2 adds the rectangle as "
+                        "class 1 (exercises multiclass heads and makes the "
+                        "CAM channel gram non-degenerate)")
     p.add_argument("--epochs", default=15, type=int)
     p.add_argument("--batch_size", default=8, type=int)
     p.add_argument("--size", default=48, type=int)
@@ -458,7 +474,8 @@ def main(argv=None):
     jax.config.update("jax_default_matmul_precision", "highest")
 
     n = args.n_train + args.n_val
-    images, masks = make_synthetic_dataset(n, args.size, args.seed)
+    images, masks = make_synthetic_dataset(n, args.size, args.seed,
+                                           args.num_classes)
     val_idx = np.arange(args.n_train, n)
     schedule = batch_schedule(args.n_train, args.batch_size, args.epochs,
                               args.seed)
@@ -472,11 +489,11 @@ def main(argv=None):
     init_sd, torch_model, ref = run_torch(
         args.reference, args.arch, args.deep_supervision, args.loss,
         images, masks, schedule, val_idx, args.lr, args.min_lr, args.epochs,
-        decoder=args.decoder)
+        decoder=args.decoder, num_classes=args.num_classes)
     jax_model, jax_vars, ours = run_jax(
         args.arch, args.deep_supervision, args.loss, init_sd,
         images, masks, schedule, val_idx, args.lr, args.min_lr, args.epochs,
-        decoder=args.decoder)
+        decoder=args.decoder, num_classes=args.num_classes)
 
     print(f"{'ep':>3} {'ref loss':>9} {'our loss':>9} {'Δloss':>8} "
           f"{'ref vIoU':>9} {'our vIoU':>9}")
@@ -505,8 +522,9 @@ def main(argv=None):
     ok = all(c["ok"] for c in checks.values())
     result = {
         "config": {k: getattr(args, k) for k in
-                   ("arch", "deep_supervision", "decoder", "loss", "epochs",
-                    "batch_size", "size", "n_train", "n_val", "lr", "seed")},
+                   ("arch", "deep_supervision", "decoder", "loss",
+                    "num_classes", "epochs", "batch_size", "size", "n_train",
+                    "n_val", "lr", "seed")},
         "reference_curves": ref,
         "our_curves": ours,
         "checks": checks,

@@ -39,3 +39,22 @@ def test_parity_quick_lovasz():
                               os.environ.get("TMPDIR", "/tmp"),
                               "parity_quick_lovasz.json")])
     assert result["ok"], result["checks"]
+
+
+def test_parity_quick_multiclass_cattention():
+    """Multiclass (2 per-channel classes) through the dual-attention family:
+    the reference's own UNetRNNCAttention (archs_backup.py:1109-1250, the one
+    CPU-runnable dual-attention hybrid) vs ours, CAM channel gram
+    non-degenerate at C=2. Cross-logit equality covers BOTH class channels."""
+    import parity
+
+    result = parity.main(["--arch", "UNetRNNCAttention", "--num_classes", "2",
+                          "--decoder", "vanilla", "--epochs", "2",
+                          "--batch_size", "4", "--size", "32",
+                          "--n_train", "16", "--n_val", "8",
+                          "--reference", _REF,
+                          "--out", os.path.join(
+                              os.environ.get("TMPDIR", "/tmp"),
+                              "parity_quick_catt.json")])
+    assert result["ok"], result["checks"]
+    assert result["our_curves"]["loss"][-1] < result["our_curves"]["loss"][0]
