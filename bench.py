@@ -30,13 +30,18 @@ import time
 
 import numpy as np
 
-# Archs benchmarked by the default zoo sweep (reference protocol shapes fit
-# all of them; the rest of the registry is covered by `--arch X` on demand).
+# Archs benchmarked by the default zoo sweep: every trainer-constructible
+# registry arch, most-interesting first (the --zoo_budget_s guard marks the
+# tail skipped if the budget runs out rather than hanging the artifact).
 ZOO_ARCHS = [
     "UNet", "NestedUNet", "UNetRNN", "UNetRNNGhost", "AttU_Net", "R2U_Net",
     "Comprehensive_Atten_Unet", "ResNet50UNet", "UNetRM7", "UNetRM3",
     "DoubleUnet", "VGG16RNN", "R2AttU_Net", "ResNet18RNN", "ResNet50RNN",
     "ResNet50FCN",
+    # the long tail of the registry
+    "UNetRNNCAttention", "UNetRNNAttention", "UNetRNNPAttention", "DeepLab",
+    "ResNet34RNN", "ResNet101RNN", "ResNet152RNN",
+    "UNetRNNPSP", "UNetRNNCAttention_PSP",
 ]
 
 # Per-chip peaks (bf16 TFLOP/s, HBM GB/s) keyed by device_kind substring, so
