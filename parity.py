@@ -222,6 +222,46 @@ def _build_ref_model(ref_root, arch, ds_flag, decoder, num_classes=1):
         cls = getattr(backup, arch)
         cls._init_cell_state = lambda self, t: torch.zeros(t.size())
         return cls(num_classes, input_channel=3, decoder=decoder)
+    if arch == "ResNet50FCN":
+        # Training equivalence is structurally unavailable here: the FCN
+        # classifier carries two ACTIVE Dropout2d layers (CRDN.py:808/812)
+        # whose channel-drop RNG streams are framework-private (and ours is
+        # per-element nn.Dropout), so train-mode losses cannot agree
+        # step-for-step; its custom normal_(0, sqrt(2/n)) init (CRDN.py:822-24)
+        # also emits O(1e4+) logits that make the absolute logit gate
+        # meaningless.  Eval-forward parity IS pinned, with a
+        # magnitude-relative bound, in
+        # tests/test_crdn_backbone_reference_parity.py::test_resnet50fcn_full_forward_parity.
+        raise SystemExit("ResNet50FCN parity: active Dropout2d in the "
+                         "classifier (CRDN.py:808/812) makes stepwise "
+                         "training equivalence undefined; eval-forward parity "
+                         "is covered by "
+                         "test_crdn_backbone_reference_parity.py instead")
+    if arch == "ResNet50UNet":
+        # CPU-safe as written: pure-conv unetUp decoder (CRDN.py:674-750),
+        # no zero-state .cuda pin, no dropout.
+        crdn = _import_module(os.path.join(ref_root, "CRDN.py"), "ref_crdn")
+        return crdn.ResNet50UNet(n_classes=num_classes, input_channel=3)
+    if arch in ("ResNet50RNN", "VGG16RNN"):
+        # The CRDN backbone family lives in CRDN.py (ResNetRNN :418-587,
+        # VGG16RNN :250-407) with the cleaner RDC (padding=k//2, CRDN.py:20).
+        crdn = _import_module(os.path.join(ref_root, "CRDN.py"), "ref_crdn")
+        if arch == "ResNet50RNN":
+            if decoder == "LSTM":
+                raise SystemExit(
+                    "ResNet50RNN parity: the reference LSTM branch unpacks 6 "
+                    "values from the 2-value RDC return (CRDN.py:558-563) and "
+                    "crashes every forward; use vanilla or GRU")
+            # _init_cell_state is already CPU-safe (the .cuda(0) is commented
+            # out at CRDN.py:584)
+            return crdn.ResNet50RNN(input_channel=3, n_classes=num_classes,
+                                    kernel_size=3, decoder=decoder)
+        model = crdn.VGG16RNN(input_channel=3, n_classes=num_classes,
+                              kernel_size=3, decoder=decoder)
+        # neutralize the hard zero-state .cuda(0) pin (CRDN.py:407) exactly
+        # as the reference author's own CPU edits do (finished/archs1.py:339)
+        model._init_cell_state = lambda t: torch.zeros(t.size())
+        return model
     archs = _import_module(os.path.join(ref_root, "finished", "archs1.py"),
                            "ref_archs1")
     if arch == "UNetRNN":
@@ -318,7 +358,7 @@ def run_jax(arch, ds_flag, loss_name, init_sd, images, masks, schedule,
 
     extra = ({"decoder": decoder}
              if arch in ("UNetRNN", "UNetRNNGhost", "UNetRM3", "UNetRM7",
-                         "UNetRNNCAttention")
+                         "UNetRNNCAttention", "ResNet50RNN", "VGG16RNN")
              else {})
     model = models.create_model(arch, num_classes, 3, ds_flag, **extra)  # f32
     variables = _converters(arch)[0](init_sd)
@@ -359,8 +399,28 @@ def run_jax(arch, ds_flag, loss_name, init_sd, images, masks, schedule,
 
 # ------------------------------------------------------ converted-weights ----
 
+def _dead_ref_key(arch, key, decoder="vanilla"):
+    """Reference state_dict keys that are constructed but never used by any
+    forward — our framework has no parameters for them, so export legitimately
+    leaves them at the torch model's values (they cannot affect logits):
+      - the `fc` classifier head of the ResNet backbones (CRDN.py:440) and
+        VGG16RNN's trailing `score` conv (CRDN.py:353);
+      - the RDC cell's gate convs for the decoders NOT selected — the
+        reference constructs all of vanilla/GRU/LSTM's convs up front
+        (archs1.py:160-165, CRDN.py:24-31) but only the chosen branch runs.
+    """
+    if arch.startswith("ResNet") and key.startswith("fc."):
+        return True
+    if arch == "VGG16RNN" and key.startswith("score."):
+        return True
+    inactive = {"vanilla": (".gru_catconv.", ".gru_conv.", ".lstm_catconv."),
+                "GRU": (".lstm_catconv.", ".vanilla_conv."),
+                "LSTM": (".gru_catconv.", ".gru_conv.", ".vanilla_conv.")}
+    return any(g in key for g in inactive.get(decoder, ()))
+
+
 def cross_eval(torch_model, ds_flag, jax_model, jax_vars, images, masks,
-               val_idx, arch="NestedUNet"):
+               val_idx, arch="NestedUNet", decoder="vanilla"):
     """Converted-checkpoint eval equality both directions (VERDICT item 1):
     max |Δ logits| between frameworks evaluating the SAME weights."""
     import jax
@@ -399,7 +459,9 @@ def cross_eval(torch_model, ds_flag, jax_model, jax_vars, images, masks,
     sd = export_reference_state_dict(jax_vars)
     sd_t = {k: torch.from_numpy(np.array(v, copy=True)) for k, v in sd.items()}
     missing, unexpected = torch_model.load_state_dict(sd_t, strict=False)
-    bad = ([k for k in missing if "num_batches_tracked" not in k]
+    bad = ([k for k in missing
+            if "num_batches_tracked" not in k
+            and not _dead_ref_key(arch, k, decoder)]
            + list(unexpected))
     if bad:
         raise RuntimeError(f"export key mismatch: {bad[:8]}")
@@ -416,10 +478,11 @@ def parse_args(argv=None):
     p.add_argument("--arch", default="NestedUNet",
                    choices=["UNet", "NestedUNet", "UNetRNN", "UNetRNNGhost",
                             "UNetRM3", "UNetRM7", "AttU_Net", "R2AttU_Net",
-                            "UNetRNNCAttention"],
+                            "UNetRNNCAttention", "ResNet50RNN", "VGG16RNN",
+                            "ResNet50UNet", "ResNet50FCN"],
                    help="archs with CPU-runnable reference defs (reference "
                         "finished/archs1.py:11, finished/archs2.py:11, "
-                        "archs.py:1402, archs_backup.py:1109)")
+                        "archs.py:1402, archs_backup.py:1109, CRDN.py:250/418)")
     p.add_argument("--deep_supervision", default=False,
                    type=lambda v: str(v).lower() in ("1", "true", "t", "yes"))
     p.add_argument("--loss", default="BCEDiceLoss",
@@ -503,7 +566,8 @@ def main(argv=None):
               f"{ref['val_iou'][e]:>9.4f} {ours['val_iou'][e]:>9.4f}")
 
     d1, d2 = cross_eval(torch_model, args.deep_supervision, jax_model,
-                        jax_vars, images, masks, val_idx, arch=args.arch)
+                        jax_vars, images, masks, val_idx, arch=args.arch,
+                        decoder=args.decoder)
 
     first_gap = abs(ref["loss"][0] - ours["loss"][0])
     final_gap = abs(ref["val_iou"][-1] - ours["val_iou"][-1])

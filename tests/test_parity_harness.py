@@ -58,3 +58,22 @@ def test_parity_quick_multiclass_cattention():
                               "parity_quick_catt.json")])
     assert result["ok"], result["checks"]
     assert result["our_curves"]["loss"][-1] < result["our_curves"]["loss"][0]
+
+
+def test_parity_quick_vgg16rnn_lstm():
+    """CRDN.py backbone family + the ConvLSTM RDC cell: the reference's own
+    VGG16RNN (CRDN.py:250-407, zero-state .cuda pin neutralized the way the
+    author's CPU edits do) vs ours, decoder=LSTM — exercises the k//2-padding
+    RDC (CRDN.py:20), the dead `score.` head allowlist, and the (h, c) carry
+    through all five scales."""
+    import parity
+
+    result = parity.main(["--arch", "VGG16RNN", "--decoder", "LSTM",
+                          "--epochs", "2", "--batch_size", "4",
+                          "--size", "32", "--n_train", "16", "--n_val", "8",
+                          "--reference", _REF,
+                          "--out", os.path.join(
+                              os.environ.get("TMPDIR", "/tmp"),
+                              "parity_quick_vgg16rnn.json")])
+    assert result["ok"], result["checks"]
+    assert result["our_curves"]["loss"][-1] < result["our_curves"]["loss"][0]
