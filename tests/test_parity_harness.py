@@ -77,3 +77,16 @@ def test_parity_quick_vgg16rnn_lstm():
                               "parity_quick_vgg16rnn.json")])
     assert result["ok"], result["checks"]
     assert result["our_curves"]["loss"][-1] < result["our_curves"]["loss"][0]
+
+
+def test_parity_refuses_undefined_reference_paths():
+    """The harness refuses, with the documented reason, the reference defs
+    whose training dynamics cannot be reproduced: ResNet50RNN's LSTM branch
+    (6-value unpack of the 2-value RDC return, CRDN.py:558-563) and
+    ResNet50FCN (active Dropout2d in the classifier, CRDN.py:808/812)."""
+    import parity
+
+    with pytest.raises(SystemExit, match="6"):
+        parity._build_ref_model(_REF, "ResNet50RNN", False, "LSTM")
+    with pytest.raises(SystemExit, match="Dropout2d"):
+        parity._build_ref_model(_REF, "ResNet50FCN", False, "vanilla")
