@@ -187,6 +187,13 @@ def _import_ref_archs_backup(ref_root):
             sys.modules.pop(name, None)
 
 
+# Archs whose reference definitions live in CRDN.py and take a --decoder cell
+# (CRDN.py ResNetRNN :418-587, VGG16RNN :250-407); UNetRNN* (archs1.py /
+# archs_backup.py) also take one but export all three cells' convs.
+_CRDN_BACKBONE_ARCHS = ("ResNet50RNN", "VGG16RNN")
+_RDC_ARCHS = ("UNetRNN",) + _CRDN_BACKBONE_ARCHS
+
+
 def _build_ref_model(ref_root, arch, ds_flag, decoder, num_classes=1):
     """The reference's own CPU-runnable definition of `arch`."""
     import torch
@@ -413,6 +420,12 @@ def _dead_ref_key(arch, key, decoder="vanilla"):
         return True
     if arch == "VGG16RNN" and key.startswith("score."):
         return True
+    # Only the CRDN.py backbone family needs the inactive-gate-conv allowlist
+    # (its converters export just the selected cell's convs); the archs1/
+    # archs_backup UNetRNN* exports round-trip ALL three cells' convs, so a
+    # converter regression dropping those keys must FAIL the export-key gate.
+    if arch not in _CRDN_BACKBONE_ARCHS:
+        return False
     inactive = {"vanilla": (".gru_catconv.", ".gru_conv.", ".lstm_catconv."),
                 "GRU": (".lstm_catconv.", ".vanilla_conv."),
                 "LSTM": (".gru_catconv.", ".gru_conv.", ".vanilla_conv.")}
@@ -489,8 +502,9 @@ def parse_args(argv=None):
                    choices=["BCEDiceLoss", "LovaszHingeLoss"])
     p.add_argument("--decoder", default="vanilla",
                    choices=["vanilla", "GRU", "LSTM"],
-                   help="RDC cell for --arch UNetRNN (reference default: "
-                        "vanilla, archs1.py:215)")
+                   help="RDC cell for the RDC archs (UNetRNN, ResNet50RNN, "
+                        "VGG16RNN; reference default: vanilla, archs1.py:215) "
+                        "— also scopes the CRDN dead-key allowlist")
     p.add_argument("--num_classes", default=1, type=int,
                    help="per-channel mask classes; 2 adds the rectangle as "
                         "class 1 (exercises multiclass heads and makes the "
@@ -544,7 +558,7 @@ def main(argv=None):
                               args.seed)
 
     print(f"parity: {args.arch}{' wDS' if args.deep_supervision else ''} "
-          f"{' ' + args.decoder if args.arch == 'UNetRNN' else ''}"
+          f"{' ' + args.decoder if args.arch in _RDC_ARCHS else ''}"
           f"{args.loss} {args.size}x{args.size} "
           f"train {args.n_train} / val {args.n_val} batch {args.batch_size} "
           f"epochs {args.epochs}")
