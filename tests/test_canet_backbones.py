@@ -17,6 +17,8 @@ import torch.nn.functional as F
 
 from pytorch_nested_unet_tpu import models
 
+pytestmark = pytest.mark.slow  # multi-minute: see pyproject fast lane
+
 
 def _param_count(params):
     return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))

@@ -26,7 +26,10 @@ from pytorch_nested_unet_tpu.utils.torch_convert import (
 
 from test_attention_reference_parity import REF, _import_reference_archs
 
-pytestmark = pytest.mark.skipif(not REF, reason="no reference checkout")
+pytestmark = [
+    pytest.mark.slow,  # multi-minute: see pyproject fast lane
+    pytest.mark.skipif(not REF, reason="no reference checkout"),
+]
 
 
 def _tree_leaves(tree, prefix=()):

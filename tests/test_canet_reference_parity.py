@@ -35,8 +35,10 @@ from pytorch_nested_unet_tpu.models.canet import (
 
 from test_attention_reference_parity import REF, _import_reference_archs
 
-pytestmark = pytest.mark.skipif(
-    not torch.__version__, reason="torch required")
+pytestmark = [
+    pytest.mark.slow,  # multi-minute: see pyproject fast lane
+    pytest.mark.skipif(not torch.__version__, reason="torch required"),
+]
 
 
 def _nchw(a):

@@ -15,6 +15,8 @@ from pytorch_nested_unet_tpu.training import checkpoint
 from pytorch_nested_unet_tpu.utils.config import load_config
 from test_torch_convert import TorchNestedUNet
 
+pytestmark = pytest.mark.slow  # multi-minute: see pyproject fast lane
+
 
 def _reference_pth(tmp_path, wrap_data_parallel=False):
     torch.manual_seed(3)

@@ -33,9 +33,11 @@ from pytorch_nested_unet_tpu.utils.torch_convert import converters_for_arch
 
 REF = os.environ.get("REFERENCE_ROOT", "/root/reference")
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isfile(os.path.join(REF, "CRDN.py")),
-    reason="no reference checkout")
+pytestmark = [
+    pytest.mark.slow,  # multi-minute: see pyproject fast lane
+    pytest.mark.skipif(not os.path.isfile(os.path.join(REF, "CRDN.py")),
+                       reason="no reference checkout"),
+]
 
 
 @pytest.fixture(scope="module")

@@ -21,6 +21,8 @@ from pytorch_nested_unet_tpu.utils.torch_convert import (
     convert_crdn_state_dict, export_crdn_state_dict,
 )
 
+pytestmark = pytest.mark.slow  # multi-minute: see pyproject fast lane
+
 
 def _unet_conv2(cin, cout):
     # reference archs1.py:342-355 (is_batchnorm=True): indexed Sequentials

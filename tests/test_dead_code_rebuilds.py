@@ -16,6 +16,8 @@ from pytorch_nested_unet_tpu.models.dual_deeplab import (
     ASPP, DeepLab, DualResNet, SAGate, duplicate_dualpath_params,
 )
 
+pytestmark = pytest.mark.slow  # multi-minute: see pyproject fast lane
+
 
 class TestDoubleUnet:
     def test_registry_and_shapes(self):

@@ -32,8 +32,11 @@ from pytorch_nested_unet_tpu.training import (
     TrainState, build_optimizer, checkpoint, make_train_step,
 )
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+pytestmark = [
+    pytest.mark.slow,  # multi-minute: see pyproject fast lane
+    pytest.mark.skipif(len(jax.devices()) < 8,
+                       reason="needs 8 (virtual) devices"),
+]
 
 
 def _setup():

@@ -7,6 +7,8 @@ import pytest
 
 from pytorch_nested_unet_tpu import models
 
+pytestmark = pytest.mark.slow  # multi-minute: see pyproject fast lane
+
 
 def _param_count(params):
     return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))

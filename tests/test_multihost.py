@@ -14,6 +14,8 @@ from pytorch_nested_unet_tpu.parallel.multihost import (
     global_batch_slice, initialize_distributed, make_global_array,
 )
 
+pytestmark = pytest.mark.slow  # multi-minute: see pyproject fast lane
+
 
 def test_initialize_noop_single_process(monkeypatch):
     monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)

@@ -6,6 +6,8 @@ import cv2
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute: see pyproject fast lane
+
 
 @pytest.fixture(scope="module")
 def synth_root(tmp_path_factory):

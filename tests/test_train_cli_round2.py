@@ -11,6 +11,8 @@ import pytest
 
 import jax
 
+pytestmark = pytest.mark.slow  # multi-minute: see pyproject fast lane
+
 
 @pytest.fixture(scope="module")
 def synth_root(tmp_path_factory):
