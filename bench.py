@@ -165,6 +165,10 @@ def main():
                         help="measure end-to-end epoch wall-clock on the "
                              "synthetic DSB-sized protocol (default)")
     parser.add_argument("--no_epoch", dest="epoch", action="store_false")
+    parser.add_argument("--epoch_images", default="670:134",
+                        help="TRAIN:VAL image counts for the epoch stage "
+                             "(default = the reference's 80/20 split of the "
+                             "804-image DSB2018 96x96 set); shrink for CI")
     parser.add_argument("--platform", default="default",
                         help="jax platform override ('cpu' validates the "
                              "bench path without an accelerator)")
@@ -378,7 +382,8 @@ def main():
         image DSB2018 96x96 set), whole-epoch scan dispatch, eval epoch,
         metric readback, and a log-row write — what a user actually feels
         per epoch, vs the pure-step number."""
-        n_train, n_val = 670, 134
+        n_train, n_val = (int(x) for x in args.epoch_images.split(":"))
+        n_train, n_val = max(n_train, batch), max(n_val, 1)
         tb = n_train // batch          # 41 full batches, like the real loader
         vb = (n_val + batch - 1) // batch
         imgs = jnp.asarray(rng.integers(0, 255, (n_train, hw, hw, 3),
@@ -403,7 +408,10 @@ def main():
             state, tm = run_epoch(state, imgs, msks, perm,
                                   jax.random.PRNGKey(seed))
             em = eval_epoch(state.params, state.batch_stats, vi, vm, vidx, wts)
-            row = {k: float(v) for k, v in {**tm, **em}.items()}
+            # run_epoch/eval_epoch return per-step stacked scan outputs
+            # (leading dim = steps); reduce to the epoch mean like the train
+            # loop's host-side AverageMeter before the log-row write.
+            row = {k: float(jnp.mean(v)) for k, v in {**tm, **em}.items()}
             with open(log_path, "a") as f:
                 f.write(",".join(f"{v:.6f}" for v in row.values()) + "\n")
             return state, row

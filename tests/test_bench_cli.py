@@ -36,6 +36,26 @@ def test_bench_quick_cpu_emits_contract_json():
     assert "x2/x10" in out["method"]
 
 
+def test_bench_epoch_stage_completes():
+    """The epoch stage must produce epoch_s, not an error dict — on hardware
+    in round 3 it died converting per-step scan-output metric ARRAYS with
+    float() (BENCH warm run: 'Only scalar arrays can be converted...'). Runs
+    the stage end to end at a shrunken protocol (--epoch_images)."""
+    r = subprocess.run(
+        [sys.executable, os.path.join(_repo, "bench.py"),
+         "--platform", "cpu", "--arch", "UNet", "--no_zoo", "--no_sweep",
+         "--steps", "2", "--repeats", "1",
+         "--batch_size", "2", "--input_hw", "32", "--epoch_images", "8:4"],
+        capture_output=True, text=True, timeout=1200, cwd=_repo)
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = r.stdout.strip().splitlines()[-1]
+    out = json.loads(line)
+    assert "error" not in out.get("epoch", {}), out["epoch"]
+    assert out["epoch"]["epoch_s"] > 0
+    assert out["epoch"]["epoch_pure_train_step_s"] > 0
+    assert "8 train / 4 val" in out["epoch"]["epoch_protocol"]
+
+
 def test_bench_default_path_lands_artifact_when_budget_exhausted():
     """The DRIVER path (no --quick: sweep+zoo+epoch all on) under a tiny
     BENCH_TOTAL_BUDGET_S: the headline must still print a parseable contract
