@@ -192,6 +192,13 @@ def main():
 
     skipped = []  # explicit record of stages/archs the deadline cut
 
+    def stage(name):
+        # progress breadcrumbs on stderr: when a driver timeout or SIGTERM
+        # cuts the run, the log shows WHICH stage was in flight (r02/r03
+        # forensics had to infer this from absence of output)
+        print(f"# stage {name} | t+{total_budget - left():.0f}s, "
+              f"{left():.0f}s left", file=sys.stderr, flush=True)
+
     # The remote-TPU tunnel sporadically stalls or refuses backend init for
     # minutes at a time. Probe device availability in a THROWAWAY subprocess
     # (a failed init poisons the jax backend cache in-process) and retry
@@ -469,6 +476,7 @@ def main():
             return None  # cost model availability varies by backend
 
     # ---- headline (always runs; everything after it is deadline-gated) ----
+    stage("headline")
     model = build(args.arch, args.deep_supervision)
     ips, step_ms, headline_compile_s = measure_train(
         model, args.deep_supervision, args.batch_size, args.steps, args.repeats)
@@ -519,6 +527,7 @@ def main():
         _EMITTER.emit(note="headline-only early flush; enriched line follows")
 
     if args.quick or left() > 45:
+        stage("roofline")
         rl = roofline(model, args.deep_supervision, args.batch_size, step_ms)
         if rl:
             detail["roofline"] = rl
@@ -528,6 +537,7 @@ def main():
 
     if args.epoch:
         if left() > 90:
+            stage("epoch")
             try:
                 detail["epoch"] = measure_epoch(model, args.deep_supervision,
                                                 args.batch_size, step_ms)
@@ -538,6 +548,7 @@ def main():
             skipped.append({"stage": "epoch", "reason": "total budget exhausted"})
 
     if left() > 60:
+        stage("infer")
         p50_e2e, dev_ms = measure_infer(model, args.deep_supervision, 1)
         detail["p50_infer_ms_b1_e2e"] = round(p50_e2e, 3)
         detail["infer_ms_b1_device"] = round(dev_ms, 3)
@@ -555,6 +566,7 @@ def main():
                 skipped.append({"stage": f"sweep_batch_{b}",
                                 "reason": "total budget exhausted"})
                 continue
+            stage(f"sweep_batch_{b}")
             try:
                 v, _, cs = measure_train(model, args.deep_supervision, b,
                                          args.steps, args.repeats)
@@ -580,6 +592,7 @@ def main():
                             "error": "skipped: total budget exhausted"})
                 continue
             ds = arch == "NestedUNet"
+            stage(f"zoo:{arch}")
             ta = time.perf_counter()
             try:
                 m = build(arch, ds)
