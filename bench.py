@@ -1,10 +1,22 @@
 #!/usr/bin/env python
-"""Benchmark harness. Prints the driver-contract JSON line
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...detail}
-TWICE on a full run: once the moment the headline measurement completes
-(so a kill mid-sweep/zoo can never lose the artifact), and once enriched at
-the end. The driver parses the LAST line, so the enriched line wins when the
-process survives and the early line wins when it does not.
+"""Benchmark harness. Output protocol (round-4 redesign — BENCH_r03 ran to
+rc 0 yet parsed null because the enriched final line, carrying the whole
+25-row zoo array, overflowed the driver's ~2 KB stdout tail window):
+
+  * the FULL payload (zoo array, roofline, epoch breakdown, ...) goes to
+    BENCH_DETAIL.json on disk AND is printed as a NON-final stdout line;
+  * the LAST stdout line is always a COMPACT contract
+      {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+       train_step_ms, epoch_s, best_sweep_*, p50_infer_ms_b1_e2e,
+       zoo_measured/zoo_skipped/zoo_errors counts, skipped_stages,
+       detail_file, ...}
+    hard-capped at 1,500 bytes (optional keys are dropped back-to-front if a
+    pathological payload would ever push it over), so the last-line parser is
+    guaranteed a complete JSON object.
+  * the compact+detail pair is emitted the moment the headline measurement
+    completes (early flush) and re-emitted enriched at the end; the driver
+    parses the LAST line, so the enriched line wins when the process survives
+    and the early line wins when it does not.
 
 Headline: training throughput (images/sec/chip) of the flagship NestedUNet w/
 deep supervision on the reference protocol shapes (96x96x3, BCEDice, SGD
@@ -23,10 +35,15 @@ arch ~30% slow at K=20. The measured flat term is emitted as
 Robustness contract (round-3 hardening — BENCH_r02 timed out with ZERO output):
   * every print is flushed;
   * a TOTAL-process deadline (env BENCH_TOTAL_BUDGET_S, default 1500 s) covers
-    probe + compiles + headline + epoch + sweep + zoo — stages that would
+    probe + compiles + headline + epoch + zoo + sweep — stages that would
     overrun are recorded as explicit `skipped` entries, never silently run;
-  * SIGTERM/SIGALRM handlers emit the best-known result line before exiting,
-    so even a hard driver timeout lands a parseable artifact.
+  * SIGTERM/SIGALRM handlers emit the best-known result (detail line + compact
+    final line) before exiting, so even a hard driver timeout lands a
+    parseable artifact.
+
+Stage order puts the zoo BEFORE the batch sweep: the per-arch zoo is the only
+data not recoverable from any other stage, so it gets the budget ahead of the
+sweep (which merely re-measures the headline arch at other batch sizes).
 
 vs_baseline compares against the torch reference implementation measured on
 this host (BASELINE_MEASURED.json) — the reference repo publishes no
@@ -81,16 +98,66 @@ def _device_peaks(dev):
     return kind, None
 
 
-class _Emitter:
-    """Holds the best-known result and prints it as the one-line contract.
+# Optional keys on the FINAL compact contract line, most important first.
+# If a pathological payload would push the serialized line over _LINE_CAP
+# bytes, keys are dropped from the END of this list until it fits;
+# metric/value/unit/vs_baseline are the driver contract and never dropped.
+_COMPACT_OPTIONAL = [
+    "note", "train_step_ms", "epoch_s", "best_sweep_images_per_sec",
+    "best_sweep_batch", "p50_infer_ms_b1_e2e", "zoo_measured", "zoo_skipped",
+    "zoo_errors", "skipped_stages", "detail_file", "device_kind", "precision",
+    "dispatch_overhead_ms", "headline_compile_s", "bench_wall_s",
+]
+_LINE_CAP = 1500  # bytes; the driver's stdout tail window is ~2 KB
 
-    The driver parses the LAST JSON line on stdout; emit() flushes so a kill
-    after the first emit still leaves a complete artifact behind.
+
+def _compact(full):
+    """Reduce the full payload to the bounded last-line contract."""
+    c = {k: full.get(k) for k in ("metric", "value", "unit", "vs_baseline")}
+    opt = {}
+    for k in ("note", "train_step_ms", "best_sweep_images_per_sec",
+              "best_sweep_batch", "p50_infer_ms_b1_e2e", "device_kind",
+              "precision", "dispatch_overhead_ms", "headline_compile_s",
+              "bench_wall_s", "detail_file"):
+        if full.get(k) is not None:
+            opt[k] = full[k]
+    epoch = full.get("epoch")
+    if isinstance(epoch, dict) and epoch.get("epoch_s") is not None:
+        opt["epoch_s"] = epoch["epoch_s"]
+    zoo = full.get("zoo")
+    if zoo is not None:
+        opt["zoo_measured"] = sum(
+            1 for r in zoo if "train_images_per_sec" in r)
+        opt["zoo_skipped"] = sum(
+            1 for r in zoo if "skipped" in r.get("error", ""))
+        opt["zoo_errors"] = (len(zoo) - opt["zoo_measured"]
+                             - opt["zoo_skipped"])
+    if full.get("skipped"):
+        opt["skipped_stages"] = [s["stage"] for s in full["skipped"]]
+    for k in _COMPACT_OPTIONAL:
+        if k in opt:
+            c[k] = opt[k]
+    drop = list(reversed(_COMPACT_OPTIONAL))
+    while len(json.dumps(c).encode()) > _LINE_CAP and drop:
+        c.pop(drop.pop(0), None)
+    return c
+
+
+class _Emitter:
+    """Holds the best-known full payload; emit() lands the artifact in three
+    parts: BENCH_DETAIL.json (the full payload, on disk), the full payload as
+    a NON-final stdout line (log forensics), and the size-capped compact
+    contract printed LAST — the only line the driver's ~2 KB tail-window
+    parser is guaranteed to see whole. emit() flushes, so a kill after the
+    first emit still leaves a complete artifact behind.
     """
 
     def __init__(self):
         self.payload = None
-        self.emitted_final = False
+        self.detail_path = os.environ.get(
+            "BENCH_DETAIL_PATH",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_DETAIL.json"))
 
     def set(self, payload):
         self.payload = payload
@@ -101,7 +168,14 @@ class _Emitter:
         p = dict(self.payload)
         if note:
             p["note"] = note
+        p["detail_file"] = os.path.basename(self.detail_path)
+        try:
+            with open(self.detail_path, "w") as f:
+                json.dump(p, f, indent=1)
+        except OSError:
+            pass  # the stdout contract below still lands
         print(json.dumps(p), flush=True)
+        print(json.dumps(_compact(p)), flush=True)
         return True
 
 
@@ -135,9 +209,11 @@ def main():
     signal.signal(signal.SIGTERM, _on_deadline_signal)
     signal.signal(signal.SIGALRM, _on_deadline_signal)
     # hard backstop: even if stage bookkeeping misjudges a cost, the alarm
-    # fires past the budget and lands whatever we have (the margin leaves
-    # room for one in-flight compile to finish after the budget expires)
-    signal.alarm(int(total_budget) + 300)
+    # fires past the budget and lands whatever we have. Margin 120 s: enough
+    # for one in-flight compile to finish, and comfortably BEFORE any external
+    # kill the driver might send, so our handler (which lands the artifact)
+    # wins the race against a SIGKILL it couldn't catch.
+    signal.alarm(int(total_budget) + 120)
 
     parser = argparse.ArgumentParser()
     parser.add_argument("--arch", default="NestedUNet")
@@ -153,7 +229,7 @@ def main():
     parser.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
     parser.add_argument("--steps", default=None, type=int,
                         help="scan length per timed dispatch (default 20)")
-    parser.add_argument("--repeats", default=None, type=int, help="default 3")
+    parser.add_argument("--repeats", default=None, type=int, help="default 2")
     parser.add_argument("--quick", action="store_true", help="fewer steps, no zoo")
     parser.add_argument("--sweep", dest="sweep", action="store_true", default=True,
                         help="also sweep larger batches and report the best (default)")
@@ -186,9 +262,16 @@ def main():
     if args.steps is None:
         args.steps = 20
     if args.repeats is None:
-        args.repeats = 2 if args.quick else 3
+        args.repeats = 2
     if args.deep_supervision is None:
         args.deep_supervision = args.arch == "NestedUNet"
+    try:
+        n_train_req, n_val_req = (int(x) for x in args.epoch_images.split(":"))
+        if n_train_req < 1 or n_val_req < 1:
+            raise ValueError
+    except ValueError:
+        parser.error(f"--epoch_images must be TRAIN:VAL positive integers, "
+                     f"got {args.epoch_images!r}")
 
     skipped = []  # explicit record of stages/archs the deadline cut
 
@@ -328,7 +411,7 @@ def main():
     # --quick (smoke/CPU validation) shrinks the inference measurement the
     # same way it shrinks --steps; full runs keep the long scans
     infer_scans = (10, 50) if args.quick else (50, 250)
-    infer_iters = 5 if args.quick else 20
+    infer_iters = 5 if args.quick else 10
 
     def measure_infer(model, ds, batch=1, e2e=True):
         """p50 end-to-end latency (dispatch + fwd + readback) and pure device
@@ -389,14 +472,15 @@ def main():
         image DSB2018 96x96 set), whole-epoch scan dispatch, eval epoch,
         metric readback, and a log-row write — what a user actually feels
         per epoch, vs the pure-step number."""
-        n_train, n_val = (int(x) for x in args.epoch_images.split(":"))
-        n_train, n_val = max(n_train, batch), max(n_val, 1)
-        tb = n_train // batch          # 41 full batches, like the real loader
-        vb = (n_val + batch - 1) // batch
-        imgs = jnp.asarray(rng.integers(0, 255, (n_train, hw, hw, 3),
-                                        dtype=np.uint8))
-        msks = jnp.asarray((rng.random((n_train, hw, hw, 1)) > 0.5)
-                           .astype(np.uint8) * 255)
+        # counts already format-validated at parse time; clamp up to one full
+        # batch (reported via epoch_protocol so the artifact shows the clamp)
+        n_train, n_val = max(n_train_req, batch), max(n_val_req, 1)
+        tb = n_train // batch          # full batches only (drop_last), like
+        vb = (n_val + batch - 1) // batch   # the real loader; val pads up
+        imgs = jnp.asarray(rng.integers(0, 255, (max(n_train, vb * batch),
+                                                 hw, hw, 3), dtype=np.uint8))
+        msks = jnp.asarray((rng.random((max(n_train, vb * batch), hw, hw, 1))
+                            > 0.5).astype(np.uint8) * 255)
         vi, vm = imgs[: vb * batch], msks[: vb * batch]
         variables = model.init(jax.random.PRNGKey(0),
                                jnp.zeros((batch, hw, hw, 3), jnp.float32),
@@ -406,8 +490,13 @@ def main():
         eval_epoch = jax.jit(make_epoch_evaluator(model, "BCEDiceLoss", ds))
         perm = jnp.arange(tb * batch).reshape(tb, batch)
         vidx = jnp.arange(vb * batch).reshape(vb, batch)
-        wts = jnp.ones((vb,), jnp.float32).at[-1].set(
-            (n_val - (vb - 1) * batch) / batch)
+        # (steps, batch) 0/1 validity like train.py's loader: the padded tail
+        # of the last val batch is masked out, and the host-side reduction
+        # below weights each step by its valid count — same semantics as the
+        # train loop's AverageMeter (train.py:704-706)
+        wts = (jnp.arange(vb * batch).reshape(vb, batch) < n_val
+               ).astype(jnp.float32)
+        valid_per_step = np.asarray(wts.sum(axis=1))
         import tempfile
         log_path = os.path.join(tempfile.gettempdir(), "bench_epoch_log.csv")
 
@@ -416,9 +505,14 @@ def main():
                                   jax.random.PRNGKey(seed))
             em = eval_epoch(state.params, state.batch_stats, vi, vm, vidx, wts)
             # run_epoch/eval_epoch return per-step stacked scan outputs
-            # (leading dim = steps); reduce to the epoch mean like the train
-            # loop's host-side AverageMeter before the log-row write.
-            row = {k: float(jnp.mean(v)) for k, v in {**tm, **em}.items()}
+            # (leading dim = steps); reduce like the train loop's host-side
+            # AverageMeter: train steps are all full batches (plain mean),
+            # eval steps weight by their valid-sample count.
+            row = {k: float(jnp.mean(v)) for k, v in tm.items()}
+            for k, v in em.items():
+                v = np.asarray(v)
+                row[k] = float((v * valid_per_step).sum()
+                               / valid_per_step.sum())
             with open(log_path, "a") as f:
                 f.write(",".join(f"{v:.6f}" for v in row.values()) + "\n")
             return state, row
@@ -521,10 +615,11 @@ def main():
         }
 
     # land the artifact NOW — a kill during the enrichment stages below can
-    # no longer lose the headline (BENCH_r02 lesson)
+    # no longer lose the headline (BENCH_r02 lesson). Quick mode flushes too:
+    # its remaining stage (infer) is one SIGTERM away from an empty artifact
+    # otherwise.
     _EMITTER.set(contract())
-    if not args.quick:
-        _EMITTER.emit(note="headline-only early flush; enriched line follows")
+    _EMITTER.emit(note="headline-only early flush; enriched lines follow")
 
     if args.quick or left() > 45:
         stage("roofline")
@@ -556,6 +651,64 @@ def main():
     elif not args.quick:
         skipped.append({"stage": "infer", "reason": "total budget exhausted"})
 
+    if args.zoo:
+        zoo = []
+        detail["zoo"] = zoo
+        # zoo rows use shorter scans + 1 repeat: the slope method tolerates it
+        # and per-arch cost is dominated by compiles anyway
+        zsteps = max(5, args.steps // 2)
+        est = max(45.0, headline_compile_s)  # rolling per-arch cost estimate
+        for arch in ZOO_ARCHS:
+            if left() < est + 60:
+                zoo.append({"arch": arch,
+                            "error": "skipped: total budget exhausted"})
+                continue
+            ds = arch == "NestedUNet"
+            stage(f"zoo:{arch}")
+            ta = time.perf_counter()
+            try:
+                m = build(arch, ds)
+                a_ips, a_ms, a_cs = measure_train(m, ds, args.batch_size,
+                                                  zsteps, 1)
+                row = {"arch": arch, "deep_supervision": ds,
+                       "train_images_per_sec": round(a_ips, 1),
+                       "train_step_ms": round(a_ms, 2),
+                       "compile_s": round(a_cs, 1),
+                       "wall_s": round(time.perf_counter() - ta, 1)}
+                zoo.append(row)
+                # next-arch estimate: the MEDIAN observed cost (round 3 used
+                # the max, and one 170 s arch raised the skip bar for the
+                # whole tail); the per-arch guard above still protects the
+                # budget if a genuinely slow arch lands mid-list
+                walls = sorted(r["wall_s"] for r in zoo if "wall_s" in r)
+                est = max(45.0, walls[len(walls) // 2])
+            except Exception as e:  # keep the sweep going; record the failure
+                zoo.append({"arch": arch, "error": f"{type(e).__name__}: {e}",
+                            "wall_s": round(time.perf_counter() - ta, 1)})
+            _EMITTER.set(contract())
+
+        # SECOND pass: per-arch rooflines. Each pays an extra compile of the
+        # unscanned step (.lower().compile()), so they run only after every
+        # arch has its throughput row and only while budget remains —
+        # coverage first (round-3 lesson: the inline roofline compile helped
+        # limit the zoo to 6 of 25 rows).
+        rl_est = max(20.0, headline_compile_s / 2)
+        for row in zoo:
+            if "train_images_per_sec" not in row:
+                continue
+            if left() < rl_est + 120:
+                break
+            stage(f"zoo_roofline:{row['arch']}")
+            t0 = time.perf_counter()
+            m = build(row["arch"], row["deep_supervision"])
+            a_rl = roofline(m, row["deep_supervision"], args.batch_size,
+                            row["train_step_ms"])
+            rl_est = max(20.0, time.perf_counter() - t0)
+            if a_rl and "pct_of_hbm_roofline" in a_rl:
+                row["pct_of_hbm_roofline"] = a_rl["pct_of_hbm_roofline"]
+                row["achieved_tflops"] = a_rl["achieved_tflops"]
+                _EMITTER.set(contract())
+
     if args.sweep:
         best = (ips, args.batch_size)
         # a sweep point costs ~1 compile + (steps*6)*step_ms*repeats; use the
@@ -578,44 +731,6 @@ def main():
         detail["best_sweep_images_per_sec"] = round(best[0], 2)
         detail["best_sweep_batch"] = best[1]
         _EMITTER.set(contract())
-
-    if args.zoo:
-        zoo = []
-        detail["zoo"] = zoo
-        # zoo rows use shorter scans + 1 repeat: the slope method tolerates it
-        # and per-arch cost is dominated by compiles anyway
-        zsteps = max(5, args.steps // 2)
-        est = max(60.0, headline_compile_s)  # rolling per-arch cost estimate
-        for arch in ZOO_ARCHS:
-            if left() < est + 60:
-                zoo.append({"arch": arch,
-                            "error": "skipped: total budget exhausted"})
-                continue
-            ds = arch == "NestedUNet"
-            stage(f"zoo:{arch}")
-            ta = time.perf_counter()
-            try:
-                m = build(arch, ds)
-                a_ips, a_ms, a_cs = measure_train(m, ds, args.batch_size,
-                                                  zsteps, 1)
-                row = {"arch": arch, "deep_supervision": ds,
-                       "train_images_per_sec": round(a_ips, 1),
-                       "train_step_ms": round(a_ms, 2),
-                       "compile_s": round(a_cs, 1),
-                       "wall_s": round(time.perf_counter() - ta, 1)}
-                a_rl = roofline(m, ds, args.batch_size, a_ms)
-                if a_rl and "pct_of_hbm_roofline" in a_rl:
-                    row["pct_of_hbm_roofline"] = a_rl["pct_of_hbm_roofline"]
-                    row["achieved_tflops"] = a_rl["achieved_tflops"]
-                zoo.append(row)
-                # next-arch estimate: the max observed cost so far, so one
-                # slow-compiling arch can't strand the tail mid-measurement
-                est = max(60.0, *(r.get("wall_s", 0.0) for r in zoo
-                                  if "wall_s" in r))
-            except Exception as e:  # keep the sweep going; record the failure
-                zoo.append({"arch": arch, "error": f"{type(e).__name__}: {e}",
-                            "wall_s": round(time.perf_counter() - ta, 1)})
-            _EMITTER.set(contract())
 
     detail["bench_wall_s"] = round(time.perf_counter() - t_start, 1)
     detail["bench_total_budget_s"] = total_budget

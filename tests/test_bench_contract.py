@@ -1,0 +1,127 @@
+"""Unit tests for bench.py's compact final-line contract (no jax, fast lane).
+
+BENCH_r03 ran to rc 0 yet parsed null: the enriched final stdout line carried
+the whole 25-row zoo array and overflowed the driver's ~2 KB tail-capture
+window, so the last line it saw started mid-JSON. These tests pin the fix at
+the unit level: _compact() output stays under the 1,500-byte cap for
+worst-case payloads and always keeps the four contract keys.
+"""
+
+import importlib.util
+import json
+import os
+
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _bench():
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(_repo, "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+bench = _bench()
+
+
+def _worst_case_payload():
+    """Every field populated the way a full hardware run populates it, zoo at
+    its maximum 25 rows, every stage skipped AND noted — strictly larger than
+    anything the real harness emits."""
+    zoo = []
+    for arch in bench.ZOO_ARCHS:
+        zoo.append({"arch": arch, "deep_supervision": arch == "NestedUNet",
+                    "train_images_per_sec": 1234.5, "train_step_ms": 123.456,
+                    "compile_s": 400.9, "wall_s": 999.9,
+                    "pct_of_hbm_roofline": 99.9, "achieved_tflops": 123.45})
+    skipped = ([{"stage": s, "reason": "total budget exhausted"}
+                for s in ("roofline", "epoch", "infer")]
+               + [{"stage": f"sweep_batch_{b}",
+                   "reason": "total budget exhausted"}
+                  for b in (64, 128, 256)])
+    return {
+        "metric": "train_images_per_sec_per_chip (Comprehensive_Atten_Unet"
+                  " wDS, 2048x2048, batch 4096)",
+        "value": 123456.78, "unit": "images/sec/chip", "vs_baseline": 1234.56,
+        "device": "TPU_7(process=0,(0,0,0,0))",
+        "device_kind": "TPU v5 lite with a hypothetically long kind string",
+        "arch": "Comprehensive_Atten_Unet",
+        "arch_kwargs": {"remat": "policy", "filters": [64, 128, 256, 512]},
+        "deep_supervision": True, "precision": "bf16",
+        "batch_size": 4096, "input_hw": 2048,
+        "train_step_ms": 12345.678,
+        "method": "two-length lax.scan fit (x20/x100), scalar readback "
+                  "barrier; flat per-dispatch latency cancels",
+        "dispatch_overhead_ms": 30.25, "headline_compile_s": 432.1,
+        "baseline": {"train_images_per_sec": 123.45,
+                     "hardware": "NVIDIA A100-SXM4-40GB, torch 2.5, cuda"},
+        "roofline": {"xla_flops_per_step": 1e9, "xla_hbm_gb_per_step": 99.9,
+                     "achieved_tflops": 197.0, "achieved_hbm_gbps": 819.0,
+                     "assumed_hardware": "TPU v5 lite",
+                     "peaks": {"bf16_tflops": 197.0, "hbm_gbps": 819.0},
+                     "bound": "hbm", "pct_of_hbm_roofline": 100.0},
+        "epoch": {"epoch_s": 1234.567,
+                  "epoch_protocol": "670 train / 134 val images, batch 16, "
+                                    "incl. eval+metrics+log write",
+                  "epoch_pure_train_step_s": 1000.0,
+                  "epoch_overhead_s": 234.567},
+        "p50_infer_ms_b1_e2e": 9999.999, "infer_ms_b1_device": 9999.999,
+        "best_sweep_images_per_sec": 99999.99, "best_sweep_batch": 256,
+        "zoo": zoo, "skipped": skipped,
+        "bench_wall_s": 99999.9, "bench_total_budget_s": 1500.0,
+        "note": "terminated by SIGALRM before all stages finished",
+        "detail_file": "BENCH_DETAIL.json",
+    }
+
+
+def test_compact_fits_tail_window_on_worst_case():
+    line = json.dumps(bench._compact(_worst_case_payload()))
+    assert len(line.encode()) <= bench._LINE_CAP
+    out = json.loads(line)
+    for k in ("metric", "value", "unit", "vs_baseline"):
+        assert k in out
+    # the summaries the judge needs survive on the compact line
+    assert out["train_step_ms"] == 12345.678
+    assert out["epoch_s"] == 1234.567
+    assert out["best_sweep_images_per_sec"] == 99999.99
+    assert out["zoo_measured"] == 25
+    assert out["zoo_skipped"] == 0 and out["zoo_errors"] == 0
+    assert out["detail_file"] == "BENCH_DETAIL.json"
+
+
+def test_compact_zoo_counts_split_measured_skipped_errors():
+    p = _worst_case_payload()
+    p["zoo"] = [
+        {"arch": "UNet", "train_images_per_sec": 1.0},
+        {"arch": "NestedUNet", "error": "skipped: total budget exhausted"},
+        {"arch": "DeepLab", "error": "ValueError: boom"},
+    ]
+    out = bench._compact(p)
+    assert (out["zoo_measured"], out["zoo_skipped"], out["zoo_errors"]) \
+        == (1, 1, 1)
+    assert out["skipped_stages"] == ["roofline", "epoch", "infer",
+                                     "sweep_batch_64", "sweep_batch_128",
+                                     "sweep_batch_256"]
+
+
+def test_compact_never_drops_contract_keys_under_adversarial_note():
+    p = _worst_case_payload()
+    p["note"] = "x" * 4000  # even an absurd note can't break the cap
+    line = json.dumps(bench._compact(p))
+    # the oversized note forces optional keys (note included, it drops last
+    # from the priority order's tail upward) out until the line fits
+    assert len(line.encode()) <= bench._LINE_CAP
+    out = json.loads(line)
+    assert out["value"] == 123456.78
+    assert out["unit"] == "images/sec/chip"
+
+
+def test_compact_minimal_headline_only_payload():
+    out = bench._compact({
+        "metric": "train_images_per_sec_per_chip (NestedUNet wDS, 96x96, "
+                  "batch 16)",
+        "value": 1061.0, "unit": "images/sec/chip", "vs_baseline": 8.4,
+    })
+    assert out["value"] == 1061.0
+    assert "zoo_measured" not in out and "epoch_s" not in out
