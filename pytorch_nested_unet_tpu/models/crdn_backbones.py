@@ -98,7 +98,6 @@ class _ResNetEncoder(nn.Module):
 
     block: str
     layers: Sequence[int]
-    pool_before_layer1_output: bool = False  # True reproduces ResNetFCN's stem
     dtype: Any = None
 
     @nn.compact

@@ -149,6 +149,7 @@ def test_graft_into_resnet50rnn_encoder_and_mismatch_errors():
         graft_trunk(v18, trunk, ("encoder",))
 
 
+@pytest.mark.slow  # end-to-end CLI training: ~30 s on 1 CPU core
 def test_train_cli_pretrained_backbone(tmp_path, capsys):
     """--pretrained_backbone through train.py on a ResNet-backbone arch."""
     import cv2

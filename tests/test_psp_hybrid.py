@@ -38,6 +38,7 @@ def test_psp_hybrid_rejects_multiclass():
         m.init(jax.random.PRNGKey(0), x, train=True)
 
 
+@pytest.mark.slow  # grad through the 67M-param refiner: ~90 s on 1 CPU core
 def test_psp_hybrid_differentiable():
     """Unlike the reference (numpy in forward, archs_backup.py:1844), the
     rebuilt hybrid back-propagates end to end."""

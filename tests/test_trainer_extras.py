@@ -69,6 +69,7 @@ def test_plot_data_writes_pngs(tmp_path):
         assert os.path.exists(f) and os.path.getsize(f) > 0
 
 
+@pytest.mark.slow  # CA-Net fwd+grad compile: ~55 s on 1 CPU core
 def test_canet_binary_returns_trainable_logits():
     """num_classes=1: raw logit output (Softmax2d over one channel is the
     constant 1 — reference quirk, archs.py:900); gradients flow."""
@@ -100,6 +101,7 @@ def test_canet_binary_returns_trainable_logits():
     assert any(np.abs(np.asarray(g)).max() > 0 for g in leaves)
 
 
+@pytest.mark.slow  # two full CLI subprocess trainings: ~50 s on 1 CPU core
 def test_graceful_preemption(tmp_path, monkeypatch):
     """SIGTERM mid-training: finish the epoch, checkpoint, exit 0; --resume
     continues from the next epoch (the reference has no recovery story,
