@@ -358,6 +358,15 @@ def main():
 
     dispatch_ms = []  # measured flat per-dispatch overhead (telemetry)
 
+    def jit_init(model, batch):
+        """model.init under jit. Eager init dispatches every op through the
+        remote-TPU tunnel's ~30 ms flat latency — measured 70-140 s of zoo
+        wall per op-heavy arch (RDC chains, CA-Net); the jitted init is one
+        dispatch and its compile lands in the persistent cache."""
+        fn = jax.jit(lambda k, x: model.init(k, x, train=True))
+        return fn(jax.random.PRNGKey(0),
+                  jnp.zeros((batch, hw, hw, 3), jnp.float32))
+
     def measure_train(model, ds, batch, steps, repeats):
         """(images/sec, ms/step, compile_s) via a TWO-length scan fit.
 
@@ -368,8 +377,7 @@ def main():
         step = (wall_5K - wall_K) / 4K — the flat term cancels exactly.
         """
         imgs, msks = batch_data(batch)
-        variables = model.init(jax.random.PRNGKey(0),
-                               jnp.zeros((batch, hw, hw, 3), jnp.float32), train=True)
+        variables = jit_init(model, batch)
         state = TrainState.create(variables, tx)
         step = make_train_step(model, tx, "BCEDiceLoss", ds, donate=False)
 
@@ -417,8 +425,7 @@ def main():
         """p50 end-to-end latency (dispatch + fwd + readback) and pure device
         time via a scanned forward."""
         imgs, _ = batch_data(batch)
-        variables = model.init(jax.random.PRNGKey(0),
-                               jnp.zeros((batch, hw, hw, 3), jnp.float32), train=True)
+        variables = jit_init(model, batch)
         predict = make_predict_fn(model, ds)
         p50_e2e = None
         if e2e:
@@ -482,9 +489,7 @@ def main():
         msks = jnp.asarray((rng.random((max(n_train, vb * batch), hw, hw, 1))
                             > 0.5).astype(np.uint8) * 255)
         vi, vm = imgs[: vb * batch], msks[: vb * batch]
-        variables = model.init(jax.random.PRNGKey(0),
-                               jnp.zeros((batch, hw, hw, 3), jnp.float32),
-                               train=True)
+        variables = jit_init(model, batch)
         state = TrainState.create(variables, tx)
         run_epoch = jax.jit(make_epoch_runner(model, tx, "BCEDiceLoss", ds))
         eval_epoch = jax.jit(make_epoch_evaluator(model, "BCEDiceLoss", ds))
@@ -538,9 +543,7 @@ def main():
         number; >100%% means XLA fused away traffic the cost model counts."""
         try:
             imgs, msks = batch_data(batch)
-            variables = model.init(jax.random.PRNGKey(0),
-                                   jnp.zeros((batch, hw, hw, 3), jnp.float32),
-                                   train=True)
+            variables = jit_init(model, batch)
             state = TrainState.create(variables, tx)
             step = make_train_step(model, tx, "BCEDiceLoss", ds, donate=False)
             ca = step.lower(state, imgs, msks,
@@ -651,6 +654,20 @@ def main():
     elif not args.quick:
         skipped.append({"stage": "infer", "reason": "total budget exhausted"})
 
+    def release_device_memory():
+        """Drop compiled executables (and the input constants baked into
+        them) between per-arch measurements. Each measure_train/roofline
+        call jits fresh closures whose executables pin their captured
+        device buffers; without clearing, a 25-arch zoo accumulates until
+        the chip reports RESOURCE_EXHAUSTED (measured: archs after the
+        ~17th all failed, yet each runs fine alone). Recompiles after a
+        clear come from the persistent on-disk cache, so this costs
+        seconds, not the 60-400 s first-compile price."""
+        import gc
+
+        jax.clear_caches()
+        gc.collect()
+
     if args.zoo:
         zoo = []
         detail["zoo"] = zoo
@@ -666,25 +683,39 @@ def main():
             ds = arch == "NestedUNet"
             stage(f"zoo:{arch}")
             ta = time.perf_counter()
-            try:
-                m = build(arch, ds)
-                a_ips, a_ms, a_cs = measure_train(m, ds, args.batch_size,
-                                                  zsteps, 1)
-                row = {"arch": arch, "deep_supervision": ds,
-                       "train_images_per_sec": round(a_ips, 1),
-                       "train_step_ms": round(a_ms, 2),
-                       "compile_s": round(a_cs, 1),
-                       "wall_s": round(time.perf_counter() - ta, 1)}
-                zoo.append(row)
-                # next-arch estimate: the MEDIAN observed cost (round 3 used
-                # the max, and one 170 s arch raised the skip bar for the
-                # whole tail); the per-arch guard above still protects the
-                # budget if a genuinely slow arch lands mid-list
-                walls = sorted(r["wall_s"] for r in zoo if "wall_s" in r)
-                est = max(45.0, walls[len(walls) // 2])
-            except Exception as e:  # keep the sweep going; record the failure
-                zoo.append({"arch": arch, "error": f"{type(e).__name__}: {e}",
-                            "wall_s": round(time.perf_counter() - ta, 1)})
+            attempts = 2  # one retry after an OOM-flavored failure
+            while attempts:
+                attempts -= 1
+                try:
+                    m = build(arch, ds)
+                    a_ips, a_ms, a_cs = measure_train(m, ds, args.batch_size,
+                                                      zsteps, 1)
+                    row = {"arch": arch, "deep_supervision": ds,
+                           "train_images_per_sec": round(a_ips, 1),
+                           "train_step_ms": round(a_ms, 2),
+                           "compile_s": round(a_cs, 1),
+                           "wall_s": round(time.perf_counter() - ta, 1)}
+                    zoo.append(row)
+                    # next-arch estimate: the MEDIAN observed cost (round 3
+                    # used the max, and one 170 s arch raised the skip bar
+                    # for the whole tail); the per-arch guard above still
+                    # protects the budget if a genuinely slow arch lands
+                    # mid-list
+                    walls = sorted(r["wall_s"] for r in zoo if "wall_s" in r)
+                    est = max(45.0, walls[len(walls) // 2])
+                    break
+                except Exception as e:  # keep going; record the failure
+                    release_device_memory()
+                    retryable = ("RESOURCE_EXHAUSTED" in str(e)
+                                 and attempts and left() > est + 60)
+                    if retryable:
+                        stage(f"zoo:{arch} retry after OOM")
+                        continue
+                    zoo.append({"arch": arch,
+                                "error": f"{type(e).__name__}: {e}",
+                                "wall_s": round(time.perf_counter() - ta, 1)})
+                    break
+            release_device_memory()
             _EMITTER.set(contract())
 
         # SECOND pass: per-arch rooflines. Each pays an extra compile of the
@@ -704,6 +735,7 @@ def main():
             a_rl = roofline(m, row["deep_supervision"], args.batch_size,
                             row["train_step_ms"])
             rl_est = max(20.0, time.perf_counter() - t0)
+            release_device_memory()
             if a_rl and "pct_of_hbm_roofline" in a_rl:
                 row["pct_of_hbm_roofline"] = a_rl["pct_of_hbm_roofline"]
                 row["achieved_tflops"] = a_rl["achieved_tflops"]
@@ -725,7 +757,9 @@ def main():
                                          args.steps, args.repeats)
                 est = max(30.0, cs * 1.5)
             except Exception:
+                release_device_memory()
                 break
+            release_device_memory()
             if v > best[0]:
                 best = (v, b)
         detail["best_sweep_images_per_sec"] = round(best[0], 2)
