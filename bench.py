@@ -215,6 +215,35 @@ def main():
     # wins the race against a SIGKILL it couldn't catch.
     signal.alarm(int(total_budget) + 120)
 
+    # SECOND backstop: a Python signal handler only runs between bytecodes on
+    # the main thread, so a main thread stuck inside a native call (the r04
+    # run sat ~900 s blocked in one compile RPC through the TPU tunnel) never
+    # sees SIGALRM. A daemon thread needs only the GIL — which a blocked RPC
+    # releases — so it can land the artifact and hard-exit even then. It wakes
+    # 30 s after the alarm would have fired, so the signal path (which can
+    # also record the signal name) wins whenever it is deliverable.
+    import threading
+
+    def _watchdog():
+        deadline = t_start + total_budget + 150
+        while True:
+            now = time.perf_counter()
+            if now >= deadline:
+                break
+            time.sleep(min(30.0, deadline - now))
+        if _EMITTER.emit(note="watchdog: main thread unresponsive past "
+                              "budget+150s (blocked native call?)"):
+            os._exit(0)
+        print(json.dumps({
+            "metric": "train_images_per_sec_per_chip",
+            "value": None, "unit": "images/sec/chip", "vs_baseline": None,
+            "error": "watchdog fired before the headline measurement "
+                     "completed (main thread blocked in a native call)",
+        }), flush=True)
+        os._exit(1)
+
+    threading.Thread(target=_watchdog, daemon=True, name="bench-watchdog").start()
+
     parser = argparse.ArgumentParser()
     parser.add_argument("--arch", default="NestedUNet")
     parser.add_argument("--arch_kwargs", default=None,
@@ -674,7 +703,13 @@ def main():
         # zoo rows use shorter scans + 1 repeat: the slope method tolerates it
         # and per-arch cost is dominated by compiles anyway
         zsteps = max(5, args.steps // 2)
-        est = max(45.0, headline_compile_s)  # rolling per-arch cost estimate
+        # Rolling per-arch cost estimate. The seed is CAPPED: the r04 run hit
+        # a ~900 s tunnel stall inside the headline compile, and seeding from
+        # that outlier skipped all 25 archs with 420 s of budget unused. An
+        # over-optimistic attempt is safe — the headline is already flushed,
+        # and the alarm/watchdog land the artifact if an arch overruns —
+        # while an over-pessimistic skip loses the only unrecoverable data.
+        est = max(45.0, min(headline_compile_s, 150.0))
         for arch in ZOO_ARCHS:
             if left() < est + 60:
                 zoo.append({"arch": arch,
@@ -723,7 +758,7 @@ def main():
         # arch has its throughput row and only while budget remains —
         # coverage first (round-3 lesson: the inline roofline compile helped
         # limit the zoo to 6 of 25 rows).
-        rl_est = max(20.0, headline_compile_s / 2)
+        rl_est = max(20.0, min(headline_compile_s, 150.0) / 2)
         for row in zoo:
             if "train_images_per_sec" not in row:
                 continue
@@ -745,7 +780,7 @@ def main():
         best = (ips, args.batch_size)
         # a sweep point costs ~1 compile + (steps*6)*step_ms*repeats; use the
         # headline's observed compile as the estimate
-        est = max(30.0, headline_compile_s * 1.5)
+        est = max(30.0, min(headline_compile_s, 150.0) * 1.5)
         for b in (64, 128, 256):
             if left() < est + 60:
                 skipped.append({"stage": f"sweep_batch_{b}",
