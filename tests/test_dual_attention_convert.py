@@ -95,6 +95,8 @@ def _validated(variables, arch, n_classes=2, hw=32):
     return variables
 
 
+@pytest.mark.slow  # full hybrid forward vs torch: ~40 s on 1 CPU core; the
+# export round-trip below keeps the converter covered in the fast lane
 def test_reference_cattention_forward_parity(rng):
     ref = _import_reference_archs_backup()
     torch.manual_seed(0)

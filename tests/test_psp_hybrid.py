@@ -8,7 +8,13 @@ import pytest
 from pytorch_nested_unet_tpu import models
 
 
-@pytest.mark.parametrize("arch", ["UNetRNNCAttention_PSP", "UNetRNNPSP"])
+@pytest.mark.parametrize("arch", [
+    # the CAttention hybrid compiles ~2x longer on 1 CPU core; one hybrid
+    # forward in the fast lane covers the PSP composition path, the other
+    # runs with the slow lane
+    pytest.param("UNetRNNCAttention_PSP", marks=pytest.mark.slow),
+    "UNetRNNPSP",
+])
 def test_psp_hybrid_forward(arch):
     x = jnp.zeros((1, 32, 32, 3), jnp.float32)
     m = models.create_model(arch, num_classes=1)

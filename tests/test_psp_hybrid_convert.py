@@ -65,6 +65,8 @@ def test_convert_cli_psp_hybrid_synthesizes_refinement(tmp_path, capsys):
     assert p.shape == (1, 32, 32, 1) and (p >= 0).all() and (p <= 1).all()
 
 
+@pytest.mark.slow  # CLI subprocess + 67M-param graft; the in-process
+# synthesize test above keeps the graft path covered in the fast lane
 def test_convert_cli_refine_pth_grafts_cascadepsp_weights(tmp_path):
     ref = _import_reference_archs_backup()
     torch.manual_seed(1)

@@ -75,6 +75,7 @@ def test_cascade_skip_passes(rm_variables):
     assert out["pred_224"].shape == (1, 32, 32, 1)
 
 
+@pytest.mark.slow  # non-multiple-of-8 shape forces a fresh 67M-param compile
 def test_safe_forward_pads_to_multiple_of_8(rm_variables):
     m, v = rm_variables
     calls = {}
@@ -119,6 +120,8 @@ def test_psp_module_matches_torch(rng):
                                expect.numpy().transpose(0, 2, 3, 1), atol=2e-5)
 
 
+@pytest.mark.slow  # both pipeline modes end-to-end; the golden pin and the
+# tiled-pass equivalence keep the Refiner covered in the fast lane's budget
 def test_refiner_fast_and_full(tmp_path):
     """End-to-end Refiner.refine on a synthetic blob, both modes
     (reference main.py:59-81). Small L keeps it CPU-cheap."""

@@ -27,6 +27,7 @@ def _make_isic_tree(root, n_train=6, n_test=4, hw=32):
             cv2.imwrite(os.path.join(mask_dir, f"{split}{i}_segmentation.png"), m)
 
 
+@pytest.mark.slow  # end-to-end preset training, like the other CLI trainings
 def test_isic_wacc_preset_end_to_end(tmp_path, monkeypatch):
     """train_isic_wacc preset: physical train/test dirs (train_ISIC.py:268-280),
     `_segmentation` mask naming (dataset.py:131-133), acc log columns
