@@ -319,7 +319,18 @@ def main():
     if args.platform == "default":
         import subprocess
 
-        probe = ("import jax; jax.devices(); "
+        # The probe must EXECUTE a computation, not just enumerate devices:
+        # in the degraded-tunnel windows observed on this host, jax.devices()
+        # answers immediately while the first real dispatch hangs for 15+
+        # minutes (runs C/D of r04 sat blocked in the headline with the
+        # device-enumeration probe long since green). A tiny matmul forces
+        # compile + dispatch + readback through the same path the bench uses,
+        # so a hung tunnel times out HERE, in the throwaway subprocess, and
+        # the retry loop waits out the window instead of wedging the run.
+        probe = ("import jax, jax.numpy as jnp; "
+                 "v = float((jnp.ones((128, 128)) @ jnp.ones((128, 128)))"
+                 "[0, 0]); "
+                 "assert v == 128.0, v; "
                  "print(jax.devices()[0].device_kind)")
         reason = ["no probe attempted"]
         for attempt in range(args.probe_retries):
