@@ -266,6 +266,13 @@ def main():
     parser.add_argument("--zoo", dest="zoo", action="store_true", default=True,
                         help="append a per-arch zoo array (default)")
     parser.add_argument("--no_zoo", dest="zoo", action="store_false")
+    parser.add_argument("--zoo_start", default=0, type=int,
+                        help="skip the first N zoo archs (they are recorded "
+                             "as skipped). With order-independent input "
+                             "constants the persistent cache composes across "
+                             "runs, so a run with --zoo_start can warm the "
+                             "cold tail of the zoo without re-measuring the "
+                             "head")
     parser.add_argument("--epoch", dest="epoch", action="store_true", default=True,
                         help="measure end-to-end epoch wall-clock on the "
                              "synthetic DSB-sized protocol (default)")
@@ -383,7 +390,6 @@ def main():
     dtype = jnp.bfloat16 if args.precision == "bf16" else None
     hw = args.input_hw
     tx = build_optimizer("SGD", 1e-3, 0.9, 1e-4)
-    rng = np.random.default_rng(0)
 
     extra_kwargs = models.parse_arch_kwargs(args.arch, args.arch_kwargs)
 
@@ -392,8 +398,18 @@ def main():
         return models.create_model(arch, 1, 3, ds, dtype=dtype, **kw)
 
     def batch_data(batch):
-        imgs = jnp.asarray(rng.integers(0, 255, (batch, hw, hw, 3), dtype=np.uint8))
-        msks = jnp.asarray((rng.random((batch, hw, hw, 1)) > 0.5).astype(np.uint8) * 255)
+        # Seeded per (batch, hw), INDEPENDENT of call order. These arrays are
+        # closed over by the jitted scans, where jax EMBEDS them as HLO
+        # constants — so the persistent-cache key depends on their values. A
+        # shared sequential rng made every entry depend on which stages ran
+        # before it: one skipped or reordered stage (budget cut, degraded
+        # tunnel) shifted all downstream constants and turned the whole zoo
+        # cold again (r03 measured 99-131 s "warm" compiles for exactly this
+        # reason). Order-independent data makes cache warming composable
+        # across runs and flag combinations.
+        r = np.random.default_rng(batch * 100003 + hw)
+        imgs = jnp.asarray(r.integers(0, 255, (batch, hw, hw, 3), dtype=np.uint8))
+        msks = jnp.asarray((r.random((batch, hw, hw, 1)) > 0.5).astype(np.uint8) * 255)
         return imgs, msks
 
     dispatch_ms = []  # measured flat per-dispatch overhead (telemetry)
@@ -524,9 +540,13 @@ def main():
         n_train, n_val = max(n_train_req, batch), max(n_val_req, 1)
         tb = n_train // batch          # full batches only (drop_last), like
         vb = (n_val + batch - 1) // batch   # the real loader; val pads up
-        imgs = jnp.asarray(rng.integers(0, 255, (max(n_train, vb * batch),
-                                                 hw, hw, 3), dtype=np.uint8))
-        msks = jnp.asarray((rng.random((max(n_train, vb * batch), hw, hw, 1))
+        # local rng, same order-independence rationale as batch_data (these
+        # land as jitted-call ARGUMENTS, not constants, but determinism is
+        # free and keeps every stage's inputs reproducible in isolation)
+        er = np.random.default_rng(max(n_train, vb * batch) * 100003 + hw)
+        imgs = jnp.asarray(er.integers(0, 255, (max(n_train, vb * batch),
+                                                hw, hw, 3), dtype=np.uint8))
+        msks = jnp.asarray((er.random((max(n_train, vb * batch), hw, hw, 1))
                             > 0.5).astype(np.uint8) * 255)
         vi, vm = imgs[: vb * batch], msks[: vb * batch]
         variables = jit_init(model, batch)
@@ -721,7 +741,10 @@ def main():
         # and the alarm/watchdog land the artifact if an arch overruns —
         # while an over-pessimistic skip loses the only unrecoverable data.
         est = max(45.0, min(headline_compile_s, 150.0))
-        for arch in ZOO_ARCHS:
+        for i, arch in enumerate(ZOO_ARCHS):
+            if i < args.zoo_start:
+                zoo.append({"arch": arch, "error": "skipped: --zoo_start"})
+                continue
             if left() < est + 60:
                 zoo.append({"arch": arch,
                             "error": "skipped: total budget exhausted"})
