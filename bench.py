@@ -56,6 +56,7 @@ import json
 import os
 import signal
 import sys
+import threading
 import time
 
 import numpy as np
@@ -103,8 +104,10 @@ def _device_peaks(dev):
 # bytes, keys are dropped from the END of this list until it fits;
 # metric/value/unit/vs_baseline are the driver contract and never dropped.
 _COMPACT_OPTIONAL = [
-    "note", "train_step_ms", "epoch_s", "best_sweep_images_per_sec",
+    "truncated", "note", "train_step_ms", "epoch_s",
+    "best_sweep_images_per_sec",
     "best_sweep_batch", "p50_infer_ms_b1_e2e", "zoo_measured", "zoo_skipped",
+    "zoo_start_skipped",
     "zoo_errors", "skipped_stages", "detail_file", "device_kind", "precision",
     "dispatch_overhead_ms", "headline_compile_s", "bench_wall_s",
 ]
@@ -115,7 +118,8 @@ def _compact(full):
     """Reduce the full payload to the bounded last-line contract."""
     c = {k: full.get(k) for k in ("metric", "value", "unit", "vs_baseline")}
     opt = {}
-    for k in ("note", "train_step_ms", "best_sweep_images_per_sec",
+    for k in ("truncated", "note", "train_step_ms",
+              "best_sweep_images_per_sec",
               "best_sweep_batch", "p50_infer_ms_b1_e2e", "device_kind",
               "precision", "dispatch_overhead_ms", "headline_compile_s",
               "bench_wall_s", "detail_file"):
@@ -128,10 +132,19 @@ def _compact(full):
     if zoo is not None:
         opt["zoo_measured"] = sum(
             1 for r in zoo if "train_images_per_sec" in r)
+        # deliberate --zoo_start cache-warming skips are counted apart from
+        # budget-exhaustion skips so a partial warming run can't masquerade
+        # as (or hide) budget loss in the driver-visible contract
+        opt["zoo_start_skipped"] = sum(
+            1 for r in zoo if r.get("error") == "skipped: --zoo_start")
+        if not opt["zoo_start_skipped"]:
+            del opt["zoo_start_skipped"]
         opt["zoo_skipped"] = sum(
-            1 for r in zoo if "skipped" in r.get("error", ""))
+            1 for r in zoo if "skipped" in r.get("error", "")
+        ) - opt.get("zoo_start_skipped", 0)
         opt["zoo_errors"] = (len(zoo) - opt["zoo_measured"]
-                             - opt["zoo_skipped"])
+                             - opt["zoo_skipped"]
+                             - opt.get("zoo_start_skipped", 0))
     if full.get("skipped"):
         opt["skipped_stages"] = [s["stage"] for s in full["skipped"]]
     for k in _COMPACT_OPTIONAL:
@@ -154,6 +167,10 @@ class _Emitter:
 
     def __init__(self):
         self.payload = None
+        # serializes emits: the watchdog thread and the main thread both call
+        # emit(); interleaved writes mid-print would corrupt the last-line
+        # contract the driver parses
+        self._lock = threading.Lock()
         self.detail_path = os.environ.get(
             "BENCH_DETAIL_PATH",
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -162,21 +179,27 @@ class _Emitter:
     def set(self, payload):
         self.payload = payload
 
-    def emit(self, note=None):
-        if self.payload is None:
-            return False
-        p = dict(self.payload)
-        if note:
-            p["note"] = note
-        p["detail_file"] = os.path.basename(self.detail_path)
-        try:
-            with open(self.detail_path, "w") as f:
-                json.dump(p, f, indent=1)
-        except OSError:
-            pass  # the stdout contract below still lands
-        print(json.dumps(p), flush=True)
-        print(json.dumps(_compact(p)), flush=True)
-        return True
+    def emit(self, note=None, truncated=False):
+        with self._lock:
+            if self.payload is None:
+                return False
+            p = dict(self.payload)
+            if note:
+                p["note"] = note
+            if truncated:
+                # structured marker: the run overran its budget and this is a
+                # partial artifact (rc stays 0 so the driver still parses it;
+                # the flag is how partial is distinguished from complete)
+                p["truncated"] = True
+            p["detail_file"] = os.path.basename(self.detail_path)
+            try:
+                with open(self.detail_path, "w") as f:
+                    json.dump(p, f, indent=1)
+            except OSError:
+                pass  # the stdout contract below still lands
+            print(json.dumps(p), flush=True)
+            print(json.dumps(_compact(p)), flush=True)
+            return True
 
 
 _EMITTER = _Emitter()
@@ -189,7 +212,8 @@ def _on_deadline_signal(signum, _frame):
     pending — rc 124, parsed:null. Now the best-known line goes out first.
     """
     name = signal.Signals(signum).name
-    if _EMITTER.emit(note=f"terminated by {name} before all stages finished"):
+    if _EMITTER.emit(note=f"terminated by {name} before all stages finished",
+                     truncated=True):
         os._exit(0)
     print(json.dumps({
         "metric": "train_images_per_sec_per_chip",
@@ -222,7 +246,6 @@ def main():
     # releases — so it can land the artifact and hard-exit even then. It wakes
     # 30 s after the alarm would have fired, so the signal path (which can
     # also record the signal name) wins whenever it is deliverable.
-    import threading
 
     def _watchdog():
         deadline = t_start + total_budget + 150
@@ -232,7 +255,8 @@ def main():
                 break
             time.sleep(min(30.0, deadline - now))
         if _EMITTER.emit(note="watchdog: main thread unresponsive past "
-                              "budget+150s (blocked native call?)"):
+                              "budget+150s (blocked native call?)",
+                         truncated=True):
             os._exit(0)
         print(json.dumps({
             "metric": "train_images_per_sec_per_chip",
@@ -284,12 +308,20 @@ def main():
     parser.add_argument("--platform", default="default",
                         help="jax platform override ('cpu' validates the "
                              "bench path without an accelerator)")
-    parser.add_argument("--probe_retries", default=4, type=int,
-                        help="times to re-probe an unavailable accelerator "
-                             "backend before giving up (the remote-TPU tunnel "
-                             "stalls transiently; each probe waits in a "
-                             "subprocess up to --probe_wait seconds)")
+    parser.add_argument("--probe_retries", default=0, type=int,
+                        help="max times to re-probe an unavailable "
+                             "accelerator backend; 0 (default) = keep probing "
+                             "until only --probe_reserve seconds of the total "
+                             "budget remain. The remote-TPU tunnel's observed "
+                             "outage windows run 15+ minutes (r04 forensics), "
+                             "longer than any fixed small retry count; the "
+                             "windows PASS, so the winning strategy is to "
+                             "wait them out")
     parser.add_argument("--probe_wait", default=180, type=int)
+    parser.add_argument("--probe_reserve", default=300, type=int,
+                        help="seconds of budget reserved past probing for the "
+                             "headline measurement (persistent-cache warm "
+                             "compiles land well inside this)")
     args = parser.parse_args()
     if args.quick:
         args.sweep = False
@@ -339,9 +371,18 @@ def main():
                  "[0, 0]); "
                  "assert v == 128.0, v; "
                  "print(jax.devices()[0].device_kind)")
+        # Probe until the tunnel answers or the budget forces a stop. r04's
+        # forensics: the outage windows last 15+ minutes and then PASS, while
+        # the old 4x180s retry cap gave up after ~12 min of a 25-min budget —
+        # guaranteed to lose a race it could have won by waiting. So the
+        # default (probe_retries=0) keeps probing, with a pause between
+        # attempts, until only probe_reserve seconds remain for the headline.
+        reserve = float(args.probe_reserve)
         reason = ["no probe attempted"]
-        for attempt in range(args.probe_retries):
-            wait = max(10.0, min(args.probe_wait, left() - 60))
+        attempt = 0
+        while True:
+            attempt += 1
+            wait = max(10.0, min(args.probe_wait, left() - reserve))
             try:
                 r = subprocess.run([sys.executable, "-c", probe],
                                    capture_output=True, text=True,
@@ -352,10 +393,15 @@ def main():
                 reason = (r.stderr or r.stdout).strip().splitlines()[-1:]
             except subprocess.TimeoutExpired:
                 reason = [f"probe timed out after {wait:.0f}s"]
-            print(f"# accelerator probe {attempt + 1}/{args.probe_retries} "
-                  f"failed: {reason}", file=sys.stderr, flush=True)
-            if left() < 90:  # deadline: stop probing, land the error artifact
+            cap = args.probe_retries or "budget"
+            print(f"# accelerator probe {attempt}/{cap} failed "
+                  f"({left():.0f}s of budget left): {reason}",
+                  file=sys.stderr, flush=True)
+            if args.probe_retries and attempt >= args.probe_retries:
                 break
+            if left() < reserve + 30:  # out of probing room: land the error
+                break
+            time.sleep(min(20.0, max(0.0, left() - reserve)))
         if reason is not None:
             print(json.dumps({
                 "metric": "train_images_per_sec_per_chip",
