@@ -48,22 +48,25 @@ IMAGENET_STD = np.asarray((0.229, 0.224, 0.225), np.float32)
 
 # ---------------------------------------------------------------- dataset ----
 
-def make_synthetic_dataset(n, hw, seed, num_classes=1):
+def make_synthetic_dataset(n, hw, seed, num_classes=1, wd=None):
     """Deterministic segmentation task hard enough not to saturate instantly:
     1-3 rotated ellipses (green-tinted, moderate contrast) over a textured
     background, with bright red rectangles, plus pixel noise. At num_classes=1
     the rectangles are distractors that must NOT be segmented; at num_classes=2
     they become class 1 (multiclass per-channel masks, reference
-    dataset.py:60-64 semantics)."""
+    dataset.py:60-64 semantics). `wd` gives a non-square width (CA-Net's
+    hardcoded 224x300 protocol, reference archs.py:853)."""
     rng = np.random.default_rng(seed)
-    images = np.zeros((n, hw, hw, 3), np.uint8)
-    masks = np.zeros((n, hw, hw, num_classes), np.uint8)
-    yy, xx = np.mgrid[0:hw, 0:hw]
+    wd = wd or hw
+    images = np.zeros((n, hw, wd, 3), np.uint8)
+    masks = np.zeros((n, hw, wd, num_classes), np.uint8)
+    yy, xx = np.mgrid[0:hw, 0:wd]
     for i in range(n):
-        img = rng.integers(40, 120, (hw, hw, 3)).astype(np.float32)
-        m = np.zeros((hw, hw), bool)
+        img = rng.integers(40, 120, (hw, wd, 3)).astype(np.float32)
+        m = np.zeros((hw, wd), bool)
         for _ in range(int(rng.integers(1, 4))):
-            cy, cx = rng.integers(hw // 6, hw - hw // 6, 2)
+            cy = rng.integers(hw // 6, hw - hw // 6)
+            cx = rng.integers(wd // 6, wd - wd // 6)
             ry, rx = rng.integers(max(2, hw // 12), max(3, hw // 5), 2)
             ang = rng.uniform(0, np.pi)
             ca, sa = np.cos(ang), np.sin(ang)
@@ -71,10 +74,11 @@ def make_synthetic_dataset(n, hw, seed, num_classes=1):
             v = -(yy - cy) * sa + (xx - cx) * ca
             m |= (u / ry) ** 2 + (v / rx) ** 2 < 1.0
         img[m] += np.asarray([25, 60, 25], np.float32)
-        rect = np.zeros((hw, hw), bool)
+        rect = np.zeros((hw, wd), bool)
         if num_classes > 1 or rng.random() < 0.7:
-            y0, x0 = rng.integers(0, max(1, hw - hw // 4), 2)
-            rect[y0:y0 + hw // 6, x0:x0 + hw // 6] = True
+            y0 = rng.integers(0, max(1, hw - hw // 4))
+            x0 = rng.integers(0, max(1, wd - wd // 4))
+            rect[y0:y0 + hw // 6, x0:x0 + wd // 6] = True
             img[rect] += np.asarray([70, 20, 20], np.float32)
         img += rng.normal(0, 12, img.shape)
         images[i] = np.clip(img, 0, 255).astype(np.uint8)
@@ -244,6 +248,44 @@ def _build_ref_model(ref_root, arch, ds_flag, decoder, num_classes=1):
                          "training equivalence undefined; eval-forward parity "
                          "is covered by "
                          "test_crdn_backbone_reference_parity.py instead")
+    if arch == "Comprehensive_Atten_Unet":
+        # CA-Net (archs.py:844-959). Two neutralizations make the reference
+        # definition CPU-runnable and the run deterministic, each the minimal
+        # edit the reference author's own CPU pattern implies:
+        #   1. UpCat's width-mismatch pad calls torch.rand(...).cuda()
+        #      (archs.py:585-590) — a hard CUDA pin AND an unseeded noise
+        #      injection on every forward (train and eval). Patched to edge
+        #      replication, the documented intended-behavior divergence this
+        #      framework implements (models/canet.py docstring).
+        #   2. conv_block/SE_Conv_Block dropout: the reference creates a fresh
+        #      nn.Dropout2d(0.5) module inside forward (archs.py:43-45, :684),
+        #      which stays ACTIVE under model.eval() — reference eval logits
+        #      are random, and train-mode channel-drop RNG is framework-
+        #      private (the ResNet50FCN rationale), so stepwise equivalence
+        #      is only defined with dropout off on BOTH sides. The instance
+        #      flags are cleared here; our side runs drop_rate=0.
+        import torch.nn.functional as F
+        ref = _import_ref_archs_py(ref_root)
+
+        def upcat_forward_cpu(self, inputs, down_outputs):
+            outputs = self.up(down_outputs)
+            dh = inputs.size(2) - outputs.size(2)
+            dw = inputs.size(3) - outputs.size(3)
+            if dh > 0 or dw > 0:
+                outputs = F.pad(outputs, (0, max(dw, 0), 0, max(dh, 0)),
+                                mode="replicate")
+            return torch.cat([inputs, outputs], dim=1)
+
+        ref.UpCat.forward = upcat_forward_cpu
+        # `args` is only stored, never read (archs.py:848; out_size hardcoded
+        # :853) — None is the honest value for a constructor arg the class
+        # ignores. train_Canet.py:236 can't even construct it (zero args).
+        model = ref.Comprehensive_Atten_Unet(None, in_ch=3,
+                                             n_classes=num_classes)
+        for m in model.modules():
+            if getattr(m, "dropout", None) is True:
+                m.dropout = False
+        return model
     if arch == "ResNet50UNet":
         # CPU-safe as written: pure-conv unetUp decoder (CRDN.py:674-750),
         # no zero-state .cuda pin, no dropout.
@@ -367,6 +409,9 @@ def run_jax(arch, ds_flag, loss_name, init_sd, images, masks, schedule,
              if arch in ("UNetRNN", "UNetRNNGhost", "UNetRM3", "UNetRM7",
                          "UNetRNNCAttention", "ResNet50RNN", "VGG16RNN")
              else {})
+    if arch == "Comprehensive_Atten_Unet":
+        # dropout off on both sides — see the CA-Net note in _build_ref_model
+        extra = {"drop_rate": 0.0}
     model = models.create_model(arch, num_classes, 3, ds_flag, **extra)  # f32
     variables = _converters(arch)[0](init_sd)
     tx = build_optimizer("SGD", lr, 0.9, 1e-4)
@@ -499,10 +544,12 @@ def parse_args(argv=None):
                    choices=["UNet", "NestedUNet", "UNetRNN", "UNetRNNGhost",
                             "UNetRM3", "UNetRM7", "AttU_Net", "R2AttU_Net",
                             "UNetRNNCAttention", "ResNet50RNN", "VGG16RNN",
-                            "ResNet50UNet", "ResNet50FCN"],
+                            "ResNet50UNet", "ResNet50FCN",
+                            "Comprehensive_Atten_Unet"],
                    help="archs with CPU-runnable reference defs (reference "
                         "finished/archs1.py:11, finished/archs2.py:11, "
-                        "archs.py:1402, archs_backup.py:1109, CRDN.py:250/418)")
+                        "archs.py:1402, archs_backup.py:1109, CRDN.py:250/418, "
+                        "archs.py:844)")
     p.add_argument("--deep_supervision", default=False,
                    type=lambda v: str(v).lower() in ("1", "true", "t", "yes"))
     p.add_argument("--loss", default="BCEDiceLoss",
@@ -519,6 +566,10 @@ def parse_args(argv=None):
     p.add_argument("--epochs", default=15, type=int)
     p.add_argument("--batch_size", default=8, type=int)
     p.add_argument("--size", default=48, type=int)
+    p.add_argument("--size_w", default=0, type=int,
+                   help="non-square width (0 = square). CA-Net forces 224x300 "
+                        "— its SE pool windows are hardcoded to the ISIC2018 "
+                        "shape (reference archs.py:614-628)")
     p.add_argument("--n_train", default=64, type=int)
     p.add_argument("--n_val", default=16, type=int)
     p.add_argument("--lr", default=1e-3, type=float)
@@ -547,6 +598,14 @@ def main(argv=None):
         args.arch, args.deep_supervision = "UNet", False
         args.epochs, args.batch_size, args.size = 4, 4, 32
         args.n_train, args.n_val = 16, 8
+    if args.arch == "Comprehensive_Atten_Unet":
+        # the reference's SE pool windows only admit the ISIC2018 shape
+        # (archs.py:614-628), n_classes=1 would hit Softmax2d-over-one-channel
+        # (constant output, archs.py:900), and its own trainer uses batch 2
+        # (train_Canet.py:45)
+        args.size, args.size_w = 224, 300
+        args.num_classes = max(args.num_classes, 2)
+        args.batch_size = min(args.batch_size, 2)
     if not os.path.isfile(os.path.join(args.reference, "finished", "archs1.py")):
         sys.exit(f"no reference checkout at {args.reference} "
                  f"(expected finished/archs1.py)")
@@ -559,14 +618,15 @@ def main(argv=None):
 
     n = args.n_train + args.n_val
     images, masks = make_synthetic_dataset(n, args.size, args.seed,
-                                           args.num_classes)
+                                           args.num_classes,
+                                           wd=args.size_w or None)
     val_idx = np.arange(args.n_train, n)
     schedule = batch_schedule(args.n_train, args.batch_size, args.epochs,
                               args.seed)
 
     print(f"parity: {args.arch}{' wDS' if args.deep_supervision else ''} "
           f"{' ' + args.decoder if args.arch in _RDC_ARCHS else ''}"
-          f"{args.loss} {args.size}x{args.size} "
+          f"{args.loss} {args.size}x{args.size_w or args.size} "
           f"train {args.n_train} / val {args.n_val} batch {args.batch_size} "
           f"epochs {args.epochs}")
 
@@ -615,8 +675,8 @@ def main(argv=None):
     result = {
         "config": {k: getattr(args, k) for k in
                    ("arch", "deep_supervision", "decoder", "loss",
-                    "num_classes", "epochs", "batch_size", "size", "n_train",
-                    "n_val", "lr", "seed")},
+                    "num_classes", "epochs", "batch_size", "size", "size_w",
+                    "n_train", "n_val", "lr", "seed")},
         "reference_curves": ref,
         "our_curves": ours,
         "checks": checks,

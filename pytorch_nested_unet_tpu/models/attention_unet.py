@@ -30,10 +30,16 @@ from .blocks import VGGBlock
 
 
 class ConvBlock(nn.Module):
-    """(conv3x3 -> BN -> ReLU) x2, optional dropout (reference archs.py:29-46)."""
+    """(conv3x3 -> BN -> ReLU) x2, optional dropout (reference archs.py:29-46).
+
+    Dropout is CHANNEL dropout (broadcast over H, W), matching the reference's
+    nn.Dropout2d(0.5) semantics; drop_rate=0 disables it entirely (used by the
+    parity harness, where framework-private dropout RNG would make stepwise
+    training equivalence undefined)."""
 
     out_channels: int
     drop_out: bool = False
+    drop_rate: float = 0.5
     dtype: Any = None
 
     @nn.compact
@@ -43,8 +49,9 @@ class ConvBlock(nn.Module):
                           name=f"conv{i}")(x)
             x = BatchNorm(dtype=self.dtype, name=f"bn{i}")(x, use_running_average=not train)
             x = nn.relu(x)
-        if self.drop_out and train:
-            x = nn.Dropout(0.5, deterministic=not train, name="dropout")(x)
+        if self.drop_out and self.drop_rate > 0 and train:
+            x = nn.Dropout(self.drop_rate, broadcast_dims=(1, 2),
+                           deterministic=not train, name="dropout")(x)
         return x
 
 

@@ -188,6 +188,7 @@ class SEConvBlock(nn.Module):
 
     planes: int
     drop_out: bool = False
+    drop_rate: float = 0.5
     dtype: Any = None
 
     @nn.compact
@@ -224,8 +225,11 @@ class SEConvBlock(nn.Module):
         out = TorchConv(p, 3, padding=1, use_bias=False, dtype=self.dtype, name="conv3")(out)
         out = BatchNorm(dtype=self.dtype, name="bn3")(out, use_running_average=not train)
         out = nn.relu(out)
-        if self.drop_out and train:
-            out = nn.Dropout(0.5, deterministic=not train, name="dropout")(out)
+        if self.drop_out and self.drop_rate > 0 and train:
+            # channel dropout (broadcast over H, W) = the reference's
+            # nn.Dropout2d semantics (archs.py:684)
+            out = nn.Dropout(self.drop_rate, broadcast_dims=(1, 2),
+                             deterministic=not train, name="dropout")(out)
         return out, att_weight
 
 
@@ -330,6 +334,7 @@ class Comprehensive_Atten_Unet(nn.Module):
     nonlocal_mode: str = "concatenation"
     attention_dsample: Tuple[int, int] = (1, 1)
     out_size: Tuple[int, int] = (224, 300)
+    drop_rate: float = 0.5  # 0 disables dropout (parity harness)
     dtype: Any = None
 
     @nn.compact
@@ -342,16 +347,17 @@ class Comprehensive_Atten_Unet(nn.Module):
         conv1 = ConvBlock(filters[0], dtype=dt, name="conv1")(x, train)
         conv2 = ConvBlock(filters[1], dtype=dt, name="conv2")(max_pool2x2(conv1), train)
         conv3 = ConvBlock(filters[2], dtype=dt, name="conv3")(max_pool2x2(conv2), train)
-        conv4 = ConvBlock(filters[3], drop_out=True, dtype=dt, name="conv4")(
-            max_pool2x2(conv3), train)
-        center = ConvBlock(filters[4], drop_out=True, dtype=dt, name="center")(
-            max_pool2x2(conv4), train)
+        conv4 = ConvBlock(filters[3], drop_out=True, drop_rate=self.drop_rate,
+                          dtype=dt, name="conv4")(max_pool2x2(conv3), train)
+        center = ConvBlock(filters[4], drop_out=True, drop_rate=self.drop_rate,
+                           dtype=dt, name="center")(max_pool2x2(conv4), train)
 
         up4 = UpCat(filters[3], self.is_deconv, dtype=dt, name="up_concat4")(
             conv4, center, train)
         g_conv4 = NonLocalBlock2D(filters[4] // 4, dtype=dt, name="nonlocal4_2")(
             up4, train)
-        up4, att_weight4 = SEConvBlock(filters[3], drop_out=True, dtype=dt,
+        up4, att_weight4 = SEConvBlock(filters[3], drop_out=True,
+                                       drop_rate=self.drop_rate, dtype=dt,
                                        name="up4")(g_conv4, train)
 
         g_conv3, att3 = MultiAttentionBlock(

@@ -274,12 +274,15 @@ class ResNetFCN(nn.Module):
         score = BatchNorm(dtype=self.dtype, name="classifier_bn1")(
             score, use_running_average=not train)
         score = nn.relu(score)
-        score = nn.Dropout(0.5, deterministic=not train, name="classifier_drop1")(score)
+        # channel dropout (broadcast over H, W) = nn.Dropout2d (CRDN.py:808)
+        score = nn.Dropout(0.5, broadcast_dims=(1, 2), deterministic=not train,
+                           name="classifier_drop1")(score)
         score = TorchConv(4096, 1, dtype=self.dtype, name="classifier_conv2")(score)
         score = BatchNorm(dtype=self.dtype, name="classifier_bn2")(
             score, use_running_average=not train)
         score = nn.relu(score)
-        score = nn.Dropout(0.5, deterministic=not train, name="classifier_drop2")(score)
+        score = nn.Dropout(0.5, broadcast_dims=(1, 2), deterministic=not train,
+                           name="classifier_drop2")(score)
         score = TorchConv(self.num_classes, 1, dtype=self.dtype, name="classifier_conv3")(score)
 
         for feat, ch_name in ((down4, "score_pool4"), (down3, "score_pool3"),
