@@ -652,6 +652,13 @@ def main(argv=None):
 
     first_gap = abs(ref["loss"][0] - ours["loss"][0])
     final_gap = abs(ref["val_iou"][-1] - ours["val_iou"][-1])
+    # best-val-IoU checkpoint agreement: the reference's model-selection rule
+    # is "keep the epoch with the best val IoU" (trains.py:344-349), so the
+    # number its README table reports is the BEST-epoch IoU, not the final —
+    # gate that the two frameworks' best checkpoints agree too.
+    ref_best_ep = int(np.argmax(ref["val_iou"]))
+    our_best_ep = int(np.argmax(ours["val_iou"]))
+    best_gap = abs(ref["val_iou"][ref_best_ep] - ours["val_iou"][our_best_ep])
     checks = {
         "epoch0_train_loss_gap": {
             "value": first_gap, "tol": args.tol_first_loss,
@@ -659,6 +666,9 @@ def main(argv=None):
         "final_val_iou_gap": {
             "value": final_gap, "tol": args.tol_iou,
             "ok": final_gap <= args.tol_iou},
+        "best_val_iou_gap": {
+            "value": best_gap, "tol": args.tol_iou,
+            "ok": best_gap <= args.tol_iou},
         "torch_to_ours_logits_maxdiff": {
             "value": d1, "tol": args.tol_logits, "ok": d1 <= args.tol_logits},
         "ours_to_torch_logits_maxdiff": {
@@ -679,6 +689,12 @@ def main(argv=None):
                     "n_train", "n_val", "lr", "seed")},
         "reference_curves": ref,
         "our_curves": ours,
+        "best_checkpoint": {
+            "ref_best_epoch": ref_best_ep,
+            "ref_best_val_iou": ref["val_iou"][ref_best_ep],
+            "ours_best_epoch": our_best_ep,
+            "ours_best_val_iou": ours["val_iou"][our_best_ep],
+        },
         "checks": checks,
         "logits_context": logits_context,
         "ok": ok,
