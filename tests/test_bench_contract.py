@@ -117,6 +117,47 @@ def test_compact_never_drops_contract_keys_under_adversarial_note():
     assert out["unit"] == "images/sec/chip"
 
 
+def test_compact_counts_zoo_start_skips_separately():
+    # deliberate --zoo_start cache-warming skips must not masquerade as (or
+    # hide) budget-exhaustion skips in the driver-visible contract
+    p = _worst_case_payload()
+    p["zoo"] = [
+        {"arch": "UNet", "error": "skipped: --zoo_start"},
+        {"arch": "NestedUNet", "error": "skipped: --zoo_start"},
+        {"arch": "UNetRNN", "train_images_per_sec": 1.0},
+        {"arch": "DeepLab", "error": "skipped: total budget exhausted"},
+    ]
+    out = bench._compact(p)
+    assert (out["zoo_measured"], out["zoo_start_skipped"], out["zoo_skipped"],
+            out["zoo_errors"]) == (1, 2, 1, 0)
+
+
+def test_compact_keeps_truncated_flag():
+    # the structured partial-run marker must survive compaction ahead of
+    # everything else droppable (rc stays 0 on watchdog exits — the flag is
+    # the only machine-readable evidence the artifact is partial)
+    p = _worst_case_payload()
+    p["truncated"] = True
+    p["note"] = "x" * 4000  # force the drop loop to run
+    line = json.dumps(bench._compact(p))
+    assert len(line.encode()) <= bench._LINE_CAP
+    assert json.loads(line)["truncated"] is True
+
+
+def test_emitter_marks_truncated_payloads(tmp_path, capsys):
+    em = bench._Emitter()
+    em.detail_path = str(tmp_path / "d.json")
+    em.set({"metric": "m", "value": 1.0, "unit": "u", "vs_baseline": None})
+    assert em.emit(note="watchdog", truncated=True)
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert json.loads(lines[-1])["truncated"] is True
+    assert json.load(open(em.detail_path))["truncated"] is True
+    # a normal emit leaves no stale flag behind
+    assert em.emit()
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert "truncated" not in json.loads(lines[-1])
+
+
 def test_compact_minimal_headline_only_payload():
     out = bench._compact({
         "metric": "train_images_per_sec_per_chip (NestedUNet wDS, 96x96, "
