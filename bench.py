@@ -644,9 +644,14 @@ def main():
     def roofline(model, ds, batch, step_ms):
         """XLA's own cost model for one train step vs what we measured, against
         the benchmarked device's peaks (unknown device kinds get raw achieved
-        numbers only). The protocol workload (96x96, filters 32-512) is
-        HBM-bound, so % of the bandwidth roofline is the honest utilization
-        number; >100%% means XLA fused away traffic the cost model counts."""
+        numbers only). CAVEAT (r05, tools/measure_roofline.py + the committed
+        ROOFLINE_MEASURED_r05.json): the cost model's byte count is PRE-fusion
+        — buffer-level accounting of the executed flagship program shows ~5x
+        less HBM traffic, i.e. the >100%% readings here are cost-model
+        artifacts, not near-speed-of-light evidence; the flagship step at the
+        protocol batch is occupancy-limited, not bandwidth-bound. The column
+        stays because it is a stable, cheap, same-method comparison ACROSS
+        archs (relative traffic intensity), not an absolute utilization."""
         try:
             imgs, msks = batch_data(batch)
             variables = jit_init(model, batch)

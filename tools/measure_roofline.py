@@ -21,9 +21,9 @@ by hand (this is an analysis tool, not part of the driver contract).
 
 import argparse
 import glob
-import gzip
 import json
 import os
+import re
 import sys
 import tempfile
 import time
@@ -62,11 +62,77 @@ def build_step(args):
     return step, state, imgs, msks, ca
 
 
-def parse_xplane(trace_dir, dump_stats=False):
-    """Walk every device plane of the captured xplane and aggregate:
-      - total device-op time (ns) per plane,
-      - any stat whose name looks like a byte / bandwidth counter.
-    Returns (per_plane dict, sorted stat-name list)."""
+_DTYPE_BYTES = {
+    "pred": 1, "s8": 1, "u8": 1, "s16": 2, "u16": 2, "f16": 2, "bf16": 2,
+    "s32": 4, "u32": 4, "f32": 4, "s64": 8, "u64": 8, "f64": 8, "c64": 8,
+    "c128": 16,
+}
+# dtype[dims]{layout} — the layout braces carry the memory space: no S(...)
+# means space 0 (HBM); S(1)/S(2) are VMEM/SMEM scratch, not HBM traffic
+_SHAPE_RE = re.compile(r"\b(pred|bf16|[suf]\d+|c64|c128)\[([\d,]*)\](\{[^}]*\})?")
+
+
+def _shape_bytes(dt, dims):
+    n = 1
+    for d in dims.split(","):
+        if d:
+            n *= int(d)
+    return n * _DTYPE_BYTES.get(dt, 4)
+
+
+def _name_bytes(hlo_name: str, opcode: str) -> int:
+    """HBM bytes touched by one top-level (post-fusion) instruction, parsed
+    from the executed HLO's long name (output(s) + operands).
+
+    Rules: shapes whose layout carries an S(...) memory-space annotation are
+    VMEM/SMEM buffers — skipped. Async `*-start` ops (prefetch copy/slice
+    into VMEM) read HBM once, the size of their VMEM landing buffer — count
+    that; their source buffer bytes would overcount (slice-start reads a
+    sub-slice) and their `*-done` twins are pure sync (count 0)."""
+    if opcode.endswith("-done"):
+        return 0
+    shapes = _SHAPE_RE.findall(hlo_name)
+    if opcode.endswith("-start"):
+        vmem = [(dt, dims) for dt, dims, lay in shapes
+                if lay and "S(1)" in lay]
+        return max((_shape_bytes(dt, dims) for dt, dims in vmem), default=0)
+    return sum(_shape_bytes(dt, dims) for dt, dims, lay in shapes
+               if not (lay and "S(" in lay))
+
+
+def _opcode(hlo_name: str) -> str:
+    """The HLO opcode from '%name = TYPE opcode(...)'.
+
+    TYPE may be a tuple whose layout braces themselves contain parens
+    (T(8,128)(2,1)S(1)), so 'the first space-preceded word(' after the '='
+    is the robust anchor: layout parens follow ':'/')'/digits, never a
+    space."""
+    eq = hlo_name.find(" = ")
+    m = re.search(r"\s([a-z][\w-]*)\(", hlo_name[eq + 2:] if eq >= 0
+                  else hlo_name)
+    return m.group(1) if m else "?"
+
+
+def analyze_device_trace(trace_dir, steps):
+    """Measured per-step numbers from the TPU xplane:
+
+      - module_ms_per_step: the traced jit module's DEVICE duration / steps —
+        the dispatch-free measured step time (validates the two-length fit);
+      - executed_hbm_gb_per_step: per-instruction traffic summed over the
+        instructions that ran once per scan step, where each top-level
+        (post-fusion) instruction's traffic = its output+operand HBM buffer
+        bytes parsed from the executed HLO's long name (VMEM/SMEM-annotated
+        buffers excluded; async prefetches counted once — see _name_bytes).
+        This is the traffic of the program XLA actually built; still an
+        UPPER bound on physical DMA traffic, since a consumer whose operand
+        stayed VMEM-resident is charged anyway. (The v5e xplane exposes no
+        DMA byte counters — stat names are timing-only — so buffer-level
+        accounting of the executed program is the closest measured quantity
+        available.)
+      - by_opcode: measured time and traffic shares per HLO opcode;
+      - async_copy_ms_per_step: summed in-flight time of async copies
+        (overlapped with compute; their bytes are counted at the consumer).
+    """
     import jax
 
     paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
@@ -75,33 +141,53 @@ def parse_xplane(trace_dir, dump_stats=False):
         raise FileNotFoundError(f"no .xplane.pb under {trace_dir}")
     data = jax.profiler.ProfileData.from_serialized_xspace(
         open(paths[0], "rb").read())
-    stat_names = set()
-    planes = {}
-    BYTE_KEYS = ("bytes", "bandwidth", "bw", "dma", "hbm", "memory")
+    out = {}
     for plane in data.planes:
-        name = plane.name
-        is_device = ("TPU" in name or "GPU" in name
-                     or "/device:" in name) and "host" not in name.lower()
-        total_ns = 0
-        byte_stats = {}
-        events = 0
-        for line in plane.lines:
-            for ev in line.events:
-                events += 1
-                dur = ev.duration_ns
-                if dur:
-                    total_ns += int(dur)
-                for k, v in ev.stats:
-                    stat_names.add(k)
-                    lk = k.lower()
-                    if any(b in lk for b in BYTE_KEYS):
-                        try:
-                            byte_stats[k] = byte_stats.get(k, 0) + float(v)
-                        except (TypeError, ValueError):
-                            pass
-        planes[name] = {"events": events, "sum_event_ns": total_ns,
-                        "is_device": is_device, "byte_stats": byte_stats}
-    return planes, sorted(stat_names) if dump_stats else []
+        if not plane.name.startswith("/device:TPU"):
+            continue
+        lines = {ln.name: list(ln.events) for ln in plane.lines}
+        mods = lines.get("XLA Modules", [])
+        if mods:
+            main = max(mods, key=lambda e: e.duration_ns)
+            out["module"] = main.name.split("(")[0]
+            out["module_ms_per_step"] = round(main.duration_ns / 1e6 / steps, 4)
+        # unique-instruction aggregation; the while wrapper's event covers its
+        # children (counting it would double everything)
+        per_instr = {}
+        for ev in lines.get("XLA Ops", []):
+            key = ev.name.split(" = ")[0]
+            t, n, _ = per_instr.get(key, (0, 0, None))
+            per_instr[key] = (t + ev.duration_ns, n + 1, ev.name)
+        by_opcode = {}
+        gb_step = 0.0
+        ops_ms_step = 0.0
+        for key, (t_ns, n, name) in per_instr.items():
+            op = _opcode(name)
+            if op in ("while", "conditional", "call"):
+                continue  # control-flow wrappers: children counted directly
+            if op == "fusion" and "convolution" in name:
+                op = "fusion(convolution)"  # the MXU-feeding fusions
+            ms = t_ns / 1e6 / steps
+            ops_ms_step += ms
+            rec = by_opcode.setdefault(op, [0.0, 0.0, 0])
+            rec[0] += ms
+            rec[2] += 1
+            if n >= steps:  # runs every scan step
+                gb = _name_bytes(name, op) / 1e9
+                gb_step += gb
+                rec[1] += gb
+        out["ops_ms_per_step"] = round(ops_ms_step, 4)
+        out["executed_hbm_gb_per_step"] = round(gb_step, 4)
+        out["by_opcode"] = {
+            op: {"ms_per_step": round(v[0], 4),
+                 "gb_per_step": round(v[1], 4), "instrs": v[2]}
+            for op, v in sorted(by_opcode.items(),
+                                key=lambda kv: -kv[1][0])[:12]
+        }
+        async_ns = sum(e.duration_ns for e in lines.get("Async XLA Ops", []))
+        out["async_copy_ms_per_step_inflight"] = round(async_ns / 1e6 / steps, 3)
+        break
+    return out
 
 
 def main():
@@ -115,9 +201,13 @@ def main():
     p.add_argument("--steps", default=20, type=int,
                    help="profiled steps (scanned in one dispatch)")
     p.add_argument("--platform", default="default")
-    p.add_argument("--dump_stats", action="store_true")
+    p.add_argument("--dump_stats", action="store_true",
+                   help="(unused placeholder kept for CLI compat)")
     p.add_argument("--trace_dir", default=None,
                    help="keep the trace here instead of a temp dir")
+    p.add_argument("--reuse_trace", default=None,
+                   help="analyze an existing trace dir instead of running "
+                        "(cost-model numbers still need the compile)")
     args = p.parse_args()
 
     import jax
@@ -132,37 +222,37 @@ def main():
 
     step, state, imgs, msks, ca = build_step(args)
 
-    @jax.jit
-    def run_k(state, key):
-        def body(carry, _):
-            st, kk = carry
-            kk, sub = jax.random.split(kk)
-            st, metrics = step(st, imgs, msks, sub)
-            return (st, kk), metrics["loss"]
+    if args.reuse_trace:
+        trace_dir = args.reuse_trace
+        wall_s = None
+    else:
+        @jax.jit
+        def run_k(state, key):
+            def body(carry, _):
+                st, kk = carry
+                kk, sub = jax.random.split(kk)
+                st, metrics = step(st, imgs, msks, sub)
+                return (st, kk), metrics["loss"]
 
-        (state, _), losses = lax.scan(body, (state, key), None,
-                                      length=args.steps)
-        return state, losses[-1]
+            (state, _), losses = lax.scan(body, (state, key), None,
+                                          length=args.steps)
+            return state, losses[-1]
 
-    # warm (compile) outside the trace
-    st, loss = run_k(state, jax.random.PRNGKey(1))
-    _ = float(loss)
-
-    trace_dir = args.trace_dir or tempfile.mkdtemp(prefix="roofline_trace_")
-    t0 = time.perf_counter()
-    with jax.profiler.trace(trace_dir):
-        st, loss = run_k(st, jax.random.PRNGKey(2))
+        # warm (compile) outside the trace
+        st, loss = run_k(state, jax.random.PRNGKey(1))
         _ = float(loss)
-    wall_s = time.perf_counter() - t0
 
-    planes, stat_names = parse_xplane(trace_dir, args.dump_stats)
+        trace_dir = args.trace_dir or tempfile.mkdtemp(prefix="roofline_trace_")
+        t0 = time.perf_counter()
+        with jax.profiler.trace(trace_dir):
+            st, loss = run_k(st, jax.random.PRNGKey(2))
+            _ = float(loss)
+        wall_s = time.perf_counter() - t0
+
+    measured = analyze_device_trace(trace_dir, args.steps)
 
     flops = float(ca.get("flops", 0.0))
     cm_bytes = float(ca.get("bytes accessed", 0.0))
-    dev_planes = {n: p for n, p in planes.items() if p["is_device"]}
-    # device time per step: the busiest device plane's summed event time is
-    # an upper bound (parallel lines may overlap); report per-plane so the
-    # reader can see the structure
     out = {
         "arch": args.arch,
         "deep_supervision": args.deep_supervision,
@@ -170,26 +260,29 @@ def main():
         "input_hw": args.input_hw,
         "precision": args.precision,
         "profiled_steps": args.steps,
-        "wall_s_for_scan": round(wall_s, 4),
+        **({"wall_s_for_scan": round(wall_s, 4)} if wall_s else {}),
         "cost_model": {
             "flops_per_step_g": round(flops / 1e9, 2),
             "hbm_gb_per_step": round(cm_bytes / 1e9, 4),
         },
-        "planes": {
-            n: {
-                "events": p["events"],
-                "sum_event_ms": round(p["sum_event_ns"] / 1e6, 3),
-                "sum_event_ms_per_step": round(
-                    p["sum_event_ns"] / 1e6 / args.steps, 4),
-                **({"byte_stats": p["byte_stats"]} if p["byte_stats"] else {}),
-            }
-            for n, p in (planes if args.dump_stats else dev_planes).items()
-        },
+        "measured": measured,
     }
-    if args.dump_stats:
-        out["stat_names"] = stat_names
+    step_ms = measured.get("module_ms_per_step")
+    gb = measured.get("executed_hbm_gb_per_step")
+    if step_ms and gb:
+        # v5e peaks; adjust if run elsewhere
+        out["roofline_vs_measured"] = {
+            "measured_step_ms": step_ms,
+            "measured_hbm_gb_per_step": gb,
+            "achieved_hbm_gbps": round(gb / (step_ms * 1e-3), 1),
+            "pct_of_hbm_roofline_819gbps": round(
+                100 * (gb / 819.0) / (step_ms * 1e-3), 1),
+            "achieved_tflops": round(flops / (step_ms * 1e-3) / 1e12, 2),
+            "cost_model_overcount_x": round(cm_bytes / 1e9 / gb, 2)
+            if gb else None,
+        }
     print(json.dumps(out, indent=1))
-    if not args.trace_dir:
+    if not args.trace_dir and not args.reuse_trace:
         import shutil
 
         shutil.rmtree(trace_dir, ignore_errors=True)
