@@ -186,3 +186,75 @@ def test_convert_cli_pattention_fails_loudly(tmp_path):
             "--num_classes", "2", "--input_w", "32", "--input_h", "32",
             "--dataset", "synth", "--name", "pattn_import",
             "--output_dir", str(tmp_path / "models")])
+
+
+# ---------------------------------------------------------------------------
+# fast_rank1 PAM (opt-in grid-interpolated rank-1 attention)
+
+
+def test_fast_rank1_pam_matches_exact():
+    """The opt-in rank-1 fast path approximates the exact PAM closely: the
+    attention scores over 1-channel Q/K are rank-1, so every softmax row is
+    the same smooth 1-D function — 512 grid points hold the error orders of
+    magnitude below the signal at conv-init scales."""
+    import jax
+    import jax.numpy as jnp
+
+    from pytorch_nested_unet_tpu.models.dual_attention import PAMModule
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(0, 1, (2, 32, 32, 1)).astype(np.float32))
+    exact = PAMModule()
+    fast = PAMModule(fast_rank1=True, grid_size=512)
+    variables = exact.init(jax.random.PRNGKey(0), x)
+    # gamma=0 at init gates the attention off; force it on for the comparison
+    variables = {"params": dict(variables["params"],
+                                gamma=jnp.ones((1,), jnp.float32))}
+    o_exact = exact.apply(variables, x)
+    o_fast = fast.apply(variables, x)
+    scale = float(jnp.max(jnp.abs(o_exact)))
+    err = float(jnp.max(jnp.abs(o_exact - o_fast)))
+    assert err <= 1e-3 * max(scale, 1.0), (err, scale)
+
+
+def test_fast_rank1_ignored_for_multichannel_qk():
+    """qk_ch > 1 (c >= 8) means the scores are no longer rank-1 — the flag
+    must fall back to the exact path bitwise."""
+    import jax
+    import jax.numpy as jnp
+
+    from pytorch_nested_unet_tpu.models.dual_attention import PAMModule
+
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(0, 1, (1, 8, 8, 16)).astype(np.float32))
+    exact = PAMModule()
+    fast = PAMModule(fast_rank1=True)
+    variables = exact.init(jax.random.PRNGKey(0), x)
+    a = exact.apply(variables, x)
+    b = fast.apply(variables, x)
+    assert jnp.array_equal(a, b)
+
+
+def test_fast_pam_model_flag_trains():
+    """UNetRNNPAttention(fast_pam=True) runs a forward+backward step and
+    produces finite grads (the interp path is differentiable)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pytorch_nested_unet_tpu import models
+
+    model = models.create_model("UNetRNNPAttention", 1, 3, False,
+                                fast_pam=True, pam_grid=128)
+    x = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=True)
+
+    def loss_fn(params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x + 0.5, train=True, mutable=["batch_stats"])
+        return jnp.mean(out ** 2)
+
+    loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    assert np.isfinite(float(loss))
+    flat = jax.tree.leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in flat)
