@@ -205,6 +205,66 @@ class _Emitter:
 _EMITTER = _Emitter()
 
 
+# The probe must EXECUTE a computation, not just enumerate devices: in the
+# degraded-tunnel windows observed on this host, jax.devices() answers
+# immediately while the first real dispatch hangs for 15+ minutes (runs C/D
+# of r04 sat blocked in the headline with the device-enumeration probe long
+# since green). A tiny matmul forces compile + dispatch + readback through
+# the same path the bench uses, so a hung tunnel times out in the throwaway
+# subprocess and the retry loop waits out the window instead of wedging the
+# run (a failed backend init would also poison the jax backend cache
+# in-process — hence the subprocess).
+_PROBE_SRC = ("import jax, jax.numpy as jnp; "
+              "v = float((jnp.ones((128, 128)) @ jnp.ones((128, 128)))"
+              "[0, 0]); "
+              "assert v == 128.0, v; "
+              "print(jax.devices()[0].device_kind)")
+
+
+def probe_accelerator(left, probe_wait=180.0, probe_reserve=300.0,
+                      probe_retries=0, runner=None, sleep=None):
+    """Probe the accelerator in throwaway subprocesses until it answers or
+    the budget forces a stop. Returns None on success, else a short list of
+    failure-reason strings.
+
+    r04 forensics: tunnel outage windows last 15+ minutes and then PASS,
+    while the old fixed 4x180s retry cap gave up after ~12 min of a 25-min
+    budget — guaranteed to lose a race it could have won by waiting. So the
+    default (probe_retries=0) keeps probing, pausing between attempts, until
+    only `probe_reserve` seconds of budget remain for the headline (warm
+    persistent-cache compiles land well inside the reserve).
+
+    `left` is a zero-arg callable returning remaining budget seconds;
+    `runner`/`sleep` are injectable for tests (default subprocess.run /
+    time.sleep)."""
+    import subprocess
+
+    runner = runner or subprocess.run
+    sleep = sleep or time.sleep
+    reason = ["no probe attempted"]
+    attempt = 0
+    while True:
+        attempt += 1
+        wait = max(10.0, min(probe_wait, left() - probe_reserve))
+        try:
+            r = runner([sys.executable, "-c", _PROBE_SRC],
+                       capture_output=True, text=True, timeout=wait)
+            if r.returncode == 0:
+                return None
+            reason = (r.stderr or r.stdout).strip().splitlines()[-1:]
+        except subprocess.TimeoutExpired:
+            reason = [f"probe timed out after {wait:.0f}s"]
+        cap = probe_retries or "budget"
+        print(f"# accelerator probe {attempt}/{cap} failed "
+              f"({left():.0f}s of budget left): {reason}",
+              file=sys.stderr, flush=True)
+        if probe_retries and attempt >= probe_retries:
+            return reason
+        if left() < probe_reserve + 30:  # out of probing room
+            return reason
+        sleep(min(20.0, max(0.0, left() - probe_reserve)))
+
+
 def _on_deadline_signal(signum, _frame):
     """SIGTERM (what `timeout` sends) / SIGALRM: land the artifact, then die.
 
@@ -356,52 +416,9 @@ def main():
     # before committing this process to an init attempt. Each probe wait is
     # capped by the global deadline so probing alone can't eat the budget.
     if args.platform == "default":
-        import subprocess
-
-        # The probe must EXECUTE a computation, not just enumerate devices:
-        # in the degraded-tunnel windows observed on this host, jax.devices()
-        # answers immediately while the first real dispatch hangs for 15+
-        # minutes (runs C/D of r04 sat blocked in the headline with the
-        # device-enumeration probe long since green). A tiny matmul forces
-        # compile + dispatch + readback through the same path the bench uses,
-        # so a hung tunnel times out HERE, in the throwaway subprocess, and
-        # the retry loop waits out the window instead of wedging the run.
-        probe = ("import jax, jax.numpy as jnp; "
-                 "v = float((jnp.ones((128, 128)) @ jnp.ones((128, 128)))"
-                 "[0, 0]); "
-                 "assert v == 128.0, v; "
-                 "print(jax.devices()[0].device_kind)")
-        # Probe until the tunnel answers or the budget forces a stop. r04's
-        # forensics: the outage windows last 15+ minutes and then PASS, while
-        # the old 4x180s retry cap gave up after ~12 min of a 25-min budget —
-        # guaranteed to lose a race it could have won by waiting. So the
-        # default (probe_retries=0) keeps probing, with a pause between
-        # attempts, until only probe_reserve seconds remain for the headline.
-        reserve = float(args.probe_reserve)
-        reason = ["no probe attempted"]
-        attempt = 0
-        while True:
-            attempt += 1
-            wait = max(10.0, min(args.probe_wait, left() - reserve))
-            try:
-                r = subprocess.run([sys.executable, "-c", probe],
-                                   capture_output=True, text=True,
-                                   timeout=wait)
-                if r.returncode == 0:
-                    reason = None
-                    break
-                reason = (r.stderr or r.stdout).strip().splitlines()[-1:]
-            except subprocess.TimeoutExpired:
-                reason = [f"probe timed out after {wait:.0f}s"]
-            cap = args.probe_retries or "budget"
-            print(f"# accelerator probe {attempt}/{cap} failed "
-                  f"({left():.0f}s of budget left): {reason}",
-                  file=sys.stderr, flush=True)
-            if args.probe_retries and attempt >= args.probe_retries:
-                break
-            if left() < reserve + 30:  # out of probing room: land the error
-                break
-            time.sleep(min(20.0, max(0.0, left() - reserve)))
+        reason = probe_accelerator(left, probe_wait=args.probe_wait,
+                                   probe_reserve=float(args.probe_reserve),
+                                   probe_retries=args.probe_retries)
         if reason is not None:
             print(json.dumps({
                 "metric": "train_images_per_sec_per_chip",

@@ -166,3 +166,103 @@ def test_compact_minimal_headline_only_payload():
     })
     assert out["value"] == 1061.0
     assert "zoo_measured" not in out and "epoch_s" not in out
+
+
+# ---------------------------------------------------------------------------
+# probe_accelerator: the wait-out-the-outage-window loop (r05's #1 fix —
+# BENCH_r02/r03/r04 all parsed null; r04 because a fixed 4x180s retry cap
+# gave up inside a 15+ minute tunnel window that then passed)
+
+
+class _Clock:
+    """Deterministic budget clock: left() decreases by what probes/sleeps
+    consume."""
+
+    def __init__(self, budget):
+        self.t = 0.0
+        self.budget = budget
+
+    def left(self):
+        return self.budget - self.t
+
+
+def _result(rc, err=""):
+    class R:
+        returncode = rc
+        stderr = err
+        stdout = ""
+    return R()
+
+
+def _runner_seq(clock, outcomes, cost=180.0):
+    """Fake subprocess.run: pops the next outcome; 'timeout' raises
+    TimeoutExpired after consuming the wait, 'ok'/'fail' consume `cost`."""
+    import subprocess
+
+    calls = []
+
+    def run(cmd, capture_output, text, timeout):
+        calls.append(timeout)
+        out = outcomes.pop(0) if outcomes else "timeout"
+        if out == "timeout":
+            clock.t += timeout
+            raise subprocess.TimeoutExpired(cmd, timeout)
+        clock.t += min(cost, timeout)
+        return _result(0 if out == "ok" else 1, "RuntimeError: boom")
+
+    run.calls = calls
+    return run
+
+
+def _sleeper(clock):
+    def sleep(s):
+        clock.t += s
+    return sleep
+
+
+def test_probe_succeeds_first_try():
+    clock = _Clock(1500)
+    run = _runner_seq(clock, ["ok"], cost=5.0)
+    assert bench.probe_accelerator(clock.left, runner=run,
+                                   sleep=_sleeper(clock)) is None
+    assert len(run.calls) == 1
+
+
+def test_probe_waits_out_a_long_outage_window(capsys):
+    # 5 consecutive 180 s timeouts (a ~15-minute window) then the tunnel
+    # answers — the old 4-retry cap lost this race; the budget loop wins it
+    clock = _Clock(2400)
+    run = _runner_seq(clock, ["timeout"] * 5 + ["ok"])
+    assert bench.probe_accelerator(clock.left, runner=run,
+                                   sleep=_sleeper(clock)) is None
+    assert len(run.calls) == 6
+    assert clock.left() > 300  # succeeded with the headline reserve intact
+
+
+def test_probe_stops_with_reserve_left_when_tunnel_never_answers():
+    clock = _Clock(1500)
+    run = _runner_seq(clock, [])  # every probe times out
+    reason = bench.probe_accelerator(clock.left, runner=run,
+                                     sleep=_sleeper(clock))
+    assert reason and "timed out" in reason[0]
+    # it must keep most of the reserve for the error contract, and must have
+    # probed well past the old 4-attempt cap's ~12 minutes of effort
+    assert clock.left() >= 250
+    assert sum(run.calls) + 20 * (len(run.calls) - 1) >= 1000
+
+
+def test_probe_respects_explicit_retry_cap():
+    clock = _Clock(10_000)
+    run = _runner_seq(clock, [])
+    reason = bench.probe_accelerator(clock.left, probe_retries=3, runner=run,
+                                     sleep=_sleeper(clock))
+    assert reason is not None
+    assert len(run.calls) == 3
+
+
+def test_probe_reports_subprocess_error_line():
+    clock = _Clock(1500)
+    run = _runner_seq(clock, ["fail", "ok"], cost=5.0)
+    assert bench.probe_accelerator(clock.left, runner=run,
+                                   sleep=_sleeper(clock)) is None
+    assert len(run.calls) == 2
