@@ -29,14 +29,15 @@ class NestedUNet(nn.Module):
     #   "policy"        — save ONLY the conv outputs (checkpoint_name tags in
     #                     VGGBlock); BN/ReLU elementwise math is recomputed in
     #                     backward, convs never are.
-    # Measured (v5e, wDS 96x96 bf16, img/s):
+    # Measured (v5e, wDS 96x96 bf16, img/s; batch-512 rows re-measured r05,
+    # BENCH_DETAIL_r05_b512_{policy,full}.json):
     #   batch 16:  none 1061 | policy  964 | full  862
     #   batch 256: none 1878 | policy 1835 | full 1584
-    #   batch 512: none OOM  | policy 1744 | full 1550
+    #   batch 512: none OOM  | policy 1567 | full 1387
     # i.e. while the un-rematted program fits, XLA's own residual choice beats
     # both modes (its saved fused BN+ReLU outputs double as the next conv's
     # input, so forcing conv-only residuals ADDS traffic: 17.1->18.1 GB/step);
-    # once HBM forces a remat, "policy" is 12-16% faster than "full".
+    # once HBM forces a remat, "policy" is ~13% faster than "full".
     remat: Any = False
     dtype: Any = None
 
